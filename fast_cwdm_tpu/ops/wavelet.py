@@ -1,0 +1,311 @@
+"""Discrete wavelet transforms (1D/2D/3D DWT + IDWT) for TPU.
+
+TPU-first re-design of the reference wavelet layer
+(`/root/reference/DWT_IDWT/DWT_IDWT_layer.py`,
+`/root/reference/DWT_IDWT/DWT_IDWT_Functions.py`): instead of rebuilding banded
+decimated filter matrices on every forward call and chaining 24 dense matmuls
+with transposes, we
+
+* use a closed-form slice/add path for Haar (filter length 2) that lowers to
+  pure VPU adds with no matmuls and no transposes, and
+* a cached banded-matrix einsum path for general even-length orthogonal
+  wavelets (zero-boundary truncation semantics matching the reference's
+  ``get_matrix``, `DWT_IDWT_layer.py:43-72`).
+
+Layout is channels-last ``(..., X, Y, Z, C)`` (TPU-native NDHWC); the reference
+uses ``(N, C, D, H, W)``. Subband order matches the reference exactly:
+``LLL, LLH, LHL, LHH, HLL, HLH, HHL, HHH`` where the first letter filters the
+first spatial axis (reference "depth", `DWT_IDWT_Functions.py:115-136`), i.e.
+band index = 4*high(X) + 2*high(Y) + 1*high(Z).
+
+Filter banks are vendored (pywt is not a dependency): Haar analytically and
+Daubechies-N via spectral factorization of the Bernstein polynomial, matching
+pywt's ``rec_lo``/``rec_hi`` (QMF) conventions.
+
+Perfect reconstruction holds for even spatial sizes (the reference documents
+the same restriction, `DWT_IDWT_Functions.py:7-9`).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INV_SQRT2 = 1.0 / math.sqrt(2.0)
+
+# ---------------------------------------------------------------------------
+# Filter banks
+# ---------------------------------------------------------------------------
+
+
+def _daubechies_scaling_filter(n_moments: int) -> np.ndarray:
+    """Daubechies scaling filter (pywt ``rec_lo``) with N vanishing moments.
+
+    Spectral factorization: roots of the Bernstein half-band polynomial are
+    paired into z-plane roots; the minimum-phase choice (|z| < 1) convolved
+    with (1+z^-1)^N gives the extremal-phase Daubechies filter of length 2N.
+    """
+    if n_moments == 1:  # Haar
+        return np.array([INV_SQRT2, INV_SQRT2], dtype=np.float64)
+    n = n_moments
+    # P(y) = sum_k C(n-1+k, k) y^k  (ascending); np.roots wants descending.
+    p = np.array([math.comb(n - 1 + k, k) for k in range(n)], dtype=np.float64)
+    y_roots = np.roots(p[::-1])
+    z_roots = []
+    for y in y_roots:
+        c = 1.0 - 2.0 * y
+        d = np.sqrt(c * c - 1.0 + 0j)
+        z1, z2 = c + d, c - d
+        z_roots.append(z1 if abs(z1) < 1.0 else z2)
+    h = np.poly(z_roots).real
+    binom = np.array([math.comb(n, j) for j in range(n + 1)], dtype=np.float64)
+    h = np.convolve(h, binom)
+    h = h / h.sum() * math.sqrt(2.0)
+    # pywt stores the extremal-phase filter with dominant energy up front.
+    if int(np.argmax(np.abs(h))) >= len(h) // 2:
+        h = h[::-1]
+    return h
+
+
+@functools.lru_cache(maxsize=None)
+def filter_bank(wavelet: str = "haar") -> tuple[np.ndarray, np.ndarray]:
+    """Return ``(rec_lo, rec_hi)`` float64 filters for an orthogonal wavelet.
+
+    These are the filters the reference feeds its forward transform
+    (`DWT_IDWT_layer.py:35-37` uses ``pywt.Wavelet(name).rec_lo/rec_hi``); for
+    orthogonal wavelets the inverse transform uses the identical matrices
+    transposed (reversed ``dec_*`` == ``rec_*``, `DWT_IDWT_layer.py:556-560`).
+    """
+    name = wavelet.lower()
+    if name in ("haar", "db1"):
+        lo = np.array([INV_SQRT2, INV_SQRT2], dtype=np.float64)
+    elif name.startswith("db"):
+        lo = _daubechies_scaling_filter(int(name[2:]))
+    else:
+        raise ValueError(
+            f"unsupported wavelet '{wavelet}' (supported: haar, dbN)"
+        )
+    # Quadrature mirror: g[k] = (-1)^k h[L-1-k]  (pywt qmf convention).
+    hi = lo[::-1].copy()
+    hi[1::2] *= -1.0
+    return lo, hi
+
+
+@functools.lru_cache(maxsize=None)
+def _banded_matrices(n: int, wavelet: str) -> tuple[np.ndarray, np.ndarray]:
+    """Decimated banded analysis matrices L (n//2, n) and H (n - n//2, n).
+
+    Zero-boundary truncation semantics of the reference ``get_matrix``
+    (`DWT_IDWT_layer.py:43-72`): row i applies the filter at offset
+    ``2i - (len//2 - 1)``, positions outside [0, n) dropped.
+    """
+    lo, hi = filter_bank(wavelet)
+    length = len(lo)
+    half = length // 2
+    n_lo = n // 2
+    n_hi = n - n_lo
+    mat_l = np.zeros((n_lo, n), dtype=np.float64)
+    mat_h = np.zeros((n_hi, n), dtype=np.float64)
+    for i in range(n_lo):
+        for j in range(length):
+            col = 2 * i + j - (half - 1)
+            if 0 <= col < n:
+                mat_l[i, col] = lo[j]
+    for i in range(n_hi):
+        for j in range(length):
+            col = 2 * i + j - (half - 1)
+            if 0 <= col < n:
+                mat_h[i, col] = hi[j]
+    return mat_l, mat_h
+
+
+# ---------------------------------------------------------------------------
+# Single-axis transforms
+# ---------------------------------------------------------------------------
+
+
+def _axis_down_haar(x: jax.Array, axis: int) -> tuple[jax.Array, jax.Array]:
+    """(low, high) along ``axis``; Haar = paired sum/difference (VPU only)."""
+    n = x.shape[axis]
+    even = jax.lax.slice_in_dim(x, 0, n, stride=2, axis=axis)
+    odd = jax.lax.slice_in_dim(x, 1, n, stride=2, axis=axis)
+    r = jnp.asarray(INV_SQRT2, dtype=x.dtype)
+    return (even + odd) * r, (even - odd) * r
+
+
+def _axis_up_haar(lo: jax.Array, hi: jax.Array, axis: int) -> jax.Array:
+    """Inverse of :func:`_axis_down_haar` along ``axis``."""
+    r = jnp.asarray(INV_SQRT2, dtype=lo.dtype)
+    even = (lo + hi) * r
+    odd = (lo - hi) * r
+    pos = axis % lo.ndim
+    stacked = jnp.stack([even, odd], axis=pos + 1)  # (..., n/2, 2, ...)
+    shape = list(lo.shape)
+    shape[pos] *= 2
+    return stacked.reshape(shape)
+
+
+_PRECISE = jax.lax.Precision.HIGHEST  # fp32 MXU passes; wavelet parity needs it
+
+
+def _axis_down_generic(
+    x: jax.Array, axis: int, wavelet: str
+) -> tuple[jax.Array, jax.Array]:
+    n = x.shape[axis]
+    mat_l, mat_h = _banded_matrices(n, wavelet)
+    ml = jnp.asarray(mat_l, dtype=x.dtype)
+    mh = jnp.asarray(mat_h, dtype=x.dtype)
+    moved = jnp.moveaxis(x, axis, -1)
+    lo = jnp.einsum("...i,oi->...o", moved, ml, precision=_PRECISE)
+    hi = jnp.einsum("...i,oi->...o", moved, mh, precision=_PRECISE)
+    pos = axis % x.ndim
+    return jnp.moveaxis(lo, -1, pos), jnp.moveaxis(hi, -1, pos)
+
+
+def _axis_up_generic(
+    lo: jax.Array, hi: jax.Array, axis: int, wavelet: str, n_out: int
+) -> jax.Array:
+    mat_l, mat_h = _banded_matrices(n_out, wavelet)
+    ml = jnp.asarray(mat_l, dtype=lo.dtype)
+    mh = jnp.asarray(mat_h, dtype=lo.dtype)
+    lo_m = jnp.moveaxis(lo, axis, -1)
+    hi_m = jnp.moveaxis(hi, axis, -1)
+    out = jnp.einsum("...i,io->...o", lo_m, ml, precision=_PRECISE) + jnp.einsum(
+        "...i,io->...o", hi_m, mh, precision=_PRECISE
+    )
+    pos = axis % (out.ndim)
+    return jnp.moveaxis(out, -1, pos)
+
+
+def _axis_down(x, axis, wavelet):
+    if wavelet in ("haar", "db1"):
+        if x.shape[axis] % 2:
+            raise ValueError(
+                f"axis {axis} has odd size {x.shape[axis]}; DWT requires even"
+            )
+        return _axis_down_haar(x, axis)
+    return _axis_down_generic(x, axis, wavelet)
+
+
+def _axis_up(lo, hi, axis, wavelet):
+    if wavelet in ("haar", "db1"):
+        return _axis_up_haar(lo, hi, axis)
+    return _axis_up_generic(lo, hi, axis, wavelet, 2 * lo.shape[axis])
+
+
+# ---------------------------------------------------------------------------
+# Public N-D transforms (channels-last)
+# ---------------------------------------------------------------------------
+
+
+def dwt1(x: jax.Array, wavelet: str = "haar") -> tuple[jax.Array, jax.Array]:
+    """1D DWT over the second-to-last axis of ``(..., L, C)`` → (lo, hi).
+
+    Parity surface for the reference ``DWT_1D`` (`DWT_IDWT_layer.py:21`).
+    """
+    return _axis_down(x, -2, wavelet)
+
+
+def idwt1(lo: jax.Array, hi: jax.Array, wavelet: str = "haar") -> jax.Array:
+    return _axis_up(lo, hi, -2, wavelet)
+
+
+def dwt2(x: jax.Array, wavelet: str = "haar") -> jax.Array:
+    """2D DWT of ``(..., H, W, C)`` → ``(..., H/2, W/2, 4, C)``.
+
+    Band order LL, LH, HL, HH (first letter = first spatial axis), matching
+    the reference ``DWT_2D`` (`DWT_IDWT_layer.py:154`).
+    """
+    lo, hi = _axis_down(x, -3, wavelet)
+    bands = []
+    for part in (lo, hi):
+        l2, h2 = _axis_down(part, -2, wavelet)
+        bands.extend((l2, h2))
+    return jnp.stack(bands, axis=-2)
+
+
+def dwt2_tiny(x: jax.Array, wavelet: str = "haar") -> jax.Array:
+    """LL band only (`DWT_2D_tiny`, `DWT_IDWT_layer.py:294`)."""
+    lo, _ = _axis_down(x, -3, wavelet)
+    ll, _ = _axis_down(lo, -2, wavelet)
+    return ll
+
+
+def idwt2(bands: jax.Array, wavelet: str = "haar") -> jax.Array:
+    ll, lh, hl, hh = (bands[..., i, :] for i in range(4))
+    lo = _axis_up(ll, lh, -2, wavelet)
+    hi = _axis_up(hl, hh, -2, wavelet)
+    return _axis_up(lo, hi, -3, wavelet)
+
+
+def dwt3(x: jax.Array, wavelet: str = "haar") -> jax.Array:
+    """3D DWT: ``(..., X, Y, Z, C)`` → ``(..., X/2, Y/2, Z/2, 8, C)``.
+
+    Band index = 4*high(X) + 2*high(Y) + high(Z), i.e. the reference order
+    LLL, LLH, LHL, LHH, HLL, HLH, HHL, HHH (`DWT_IDWT_Functions.py:115-136`
+    with reference axes (depth, height, width) = our (X, Y, Z)).
+    """
+    parts = [x]
+    for axis in (-4, -3, -2):
+        parts = [b for p in parts for b in _axis_down(p, axis, wavelet)]
+    return jnp.stack(parts, axis=-2)
+
+
+def idwt3(bands: jax.Array, wavelet: str = "haar") -> jax.Array:
+    """Inverse of :func:`dwt3`: ``(..., X, Y, Z, 8, C)`` → ``(..., 2X, 2Y, 2Z, C)``."""
+    parts = [bands[..., i, :] for i in range(8)]
+    for axis in (-2, -3, -4):
+        parts = [
+            _axis_up(parts[i], parts[i + 1], axis, wavelet)
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]
+
+
+def dwt3_flat(x: jax.Array, wavelet: str = "haar") -> jax.Array:
+    """3D DWT with bands fused into channels: ``(..., X/2, Y/2, Z/2, 8*C)``.
+
+    Band-major channel layout: for C=1 this is exactly the reference's 8-ch
+    concat (`gaussian_diffusion.py:1131-1140`).
+    """
+    b = dwt3(x, wavelet)
+    return b.reshape(*b.shape[:-2], b.shape[-2] * b.shape[-1])
+
+
+def idwt3_flat(y: jax.Array, channels: int = 1, wavelet: str = "haar") -> jax.Array:
+    b = y.reshape(*y.shape[:-1], 8, channels)
+    return idwt3(b, wavelet)
+
+
+# ---------------------------------------------------------------------------
+# LLL scaling convention helpers
+# ---------------------------------------------------------------------------
+#
+# The reference divides the LLL band by 3 going into the network and
+# multiplies by 3 going back into the IDWT (a [0,1]-image's Haar LLL lies in
+# ~[0,3]); see `gaussian_diffusion.py:340-352,1132,1155` and
+# `scripts/sample.py:92-121`.
+
+LLL_SCALE = 3.0
+
+
+def scale_lll(flat_bands: jax.Array, factor: float, channels: int = 1) -> jax.Array:
+    """Multiply the LLL band(s) of band-major flattened subbands by ``factor``."""
+    n_bands = flat_bands.shape[-1] // channels
+    scale = jnp.ones((n_bands, channels), dtype=flat_bands.dtype)
+    scale = scale.at[0].set(factor).reshape(-1)
+    return flat_bands * scale
+
+
+def dwt_normalized(x: jax.Array, wavelet: str = "haar") -> jax.Array:
+    """DWT with LLL/3 (network-input convention, `gaussian_diffusion.py:1131-1140`)."""
+    return scale_lll(dwt3_flat(x, wavelet), 1.0 / LLL_SCALE, x.shape[-1])
+
+
+def idwt_normalized(y: jax.Array, channels: int = 1, wavelet: str = "haar") -> jax.Array:
+    """IDWT of network-convention bands (3*LLL, `gaussian_diffusion.py:1155`)."""
+    return idwt3_flat(scale_lll(y, LLL_SCALE, channels), channels, wavelet)
