@@ -1,0 +1,267 @@
+"""Diffusion core tests: schedule parity invariants, process math, loops.
+
+Parity anchors vs `/root/reference/guided_diffusion/gaussian_diffusion.py`:
+- linear schedule endpoints scale with 1000/T (`:39-44`)
+- "sampled" schedule reproduces the 1000-step alpha-bar curve at the
+  subsampled indices (`:45-58`)
+- q/posterior coefficient identities (`:183-205`)
+- p_sample_loop with an oracle x0-predicting model recovers x0 exactly
+- i2i condition concat order (`:1102-1149`)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_cwdm_tpu.diffusion import (
+    GaussianDiffusion,
+    LossSecondMomentResampler,
+    MeanType,
+    UniformSampler,
+    VarType,
+    condition_order,
+    create_spaced_diffusion,
+    space_timesteps,
+)
+from fast_cwdm_tpu.diffusion import schedules
+from fast_cwdm_tpu.ops import wavelet as wv
+
+
+def test_linear_schedule_endpoints():
+    b1000 = schedules.linear_betas(1000)
+    np.testing.assert_allclose(b1000[0], 1e-4, rtol=1e-12)
+    np.testing.assert_allclose(b1000[-1], 0.02, rtol=1e-12)
+    b100 = schedules.linear_betas(100)
+    np.testing.assert_allclose(b100[0], 1e-3, rtol=1e-12)
+    np.testing.assert_allclose(b100[-1], 0.2, rtol=1e-12)
+
+
+@pytest.mark.parametrize("steps", [10, 100, 1000])
+def test_sampled_schedule_matches_full_curve(steps):
+    betas = schedules.sampled_betas(steps)
+    assert betas.shape == (steps,)
+    assert (betas >= 0.0001).all() and (betas <= 0.999).all()
+    full = np.cumprod(1 - np.linspace(0.0001, 0.02, 1000, dtype=np.float64))
+    idx = np.linspace(0, 999, steps, dtype=int)
+    acp = np.cumprod(1 - betas)
+    # clip only binds when sub-step betas fall below 1e-4; for these steps the
+    # retained alpha-bar curve must match the full one exactly at idx
+    mask = ~np.isclose(betas, 0.0001)
+    np.testing.assert_allclose(acp[mask], full[idx][mask], rtol=1e-10)
+
+
+def test_cosine_schedule():
+    b = schedules.cosine_betas(50)
+    assert b.shape == (50,) and (b > 0).all() and (b <= 0.999).all()
+
+
+def test_tables_float64_provenance():
+    d = GaussianDiffusion.named("linear", 1000)
+    assert d.num_timesteps == 1000
+    acp = np.asarray(d.alphas_cumprod, dtype=np.float64)
+    # identity: posterior_mean_coef1+coef2 scaled forms reconstruct mean of x0
+    c1 = np.asarray(d.posterior_mean_coef1)
+    c2 = np.asarray(d.posterior_mean_coef2)
+    sqrt_acp = np.asarray(d.sqrt_alphas_cumprod)
+    # at any t: c1 + c2*sqrt(acp_t)/1 applied to x0-noising... check simple
+    # identity c1*1 + c2*sqrt_acp = 1-ish only at t=0; instead check t=0 row:
+    np.testing.assert_allclose(c1[0] + c2[0] * sqrt_acp[0], 1.0, rtol=1e-5)
+    assert acp[-1] < 1e-4  # fully noised at T
+
+
+def test_q_sample_and_posterior_identity():
+    d = GaussianDiffusion.named("linear", 100)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((2, 4, 4, 4, 8)), dtype=jnp.float32)
+    t = jnp.asarray([0, 50])
+    zero = jnp.zeros_like(x0)
+    xt = d.q_sample(x0, t, zero)
+    expected = np.asarray(d.sqrt_alphas_cumprod)[np.asarray(t)].reshape(
+        -1, 1, 1, 1, 1
+    ) * np.asarray(x0)
+    np.testing.assert_allclose(np.asarray(xt), expected, atol=1e-6)
+
+    # eps <-> x0 inversion
+    noise = jnp.asarray(rng.standard_normal(x0.shape), dtype=jnp.float32)
+    xt = d.q_sample(x0, t, noise)
+    x0_rec = d.predict_xstart_from_eps(xt, t, noise)
+    np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-3)
+    eps_rec = d.predict_eps_from_xstart(xt, t, x0)
+    np.testing.assert_allclose(np.asarray(eps_rec), np.asarray(noise), atol=1e-3)
+
+
+def _oracle_setup(mode="default", steps=10):
+    """A latent x0 (DWT of a [0,1] image) and a model that predicts it."""
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 8, 8, 8, 1)), dtype=jnp.float32)
+    x0 = wv.dwt_normalized(img)
+    d = GaussianDiffusion.named(
+        "linear",
+        steps,
+        sample_schedule="sampled",
+        mean_type=MeanType.START_X,
+        var_type=VarType.FIXED_LARGE,
+        mode=mode,
+    )
+    return d, img, x0
+
+
+def test_p_sample_loop_oracle_recovers_x0():
+    d, img, x0 = _oracle_setup()
+    model_fn = lambda x, t: jnp.broadcast_to(x0, x.shape[:-1] + (8,))  # noqa: E731
+    out = jax.jit(
+        lambda key: d.p_sample_loop(
+            model_fn, x0.shape, key, clip_denoised=True
+        )
+    )(jax.random.PRNGKey(0))
+    # last step (t=0) returns the posterior mean at t=0 which equals pred x0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)
+
+
+def test_p_sample_loop_progressive_matches_api():
+    d, img, x0 = _oracle_setup()
+    model_fn = lambda x, t: jnp.broadcast_to(x0, x.shape[:-1] + (8,))  # noqa: E731
+    outs = list(
+        d.p_sample_loop_progressive(
+            model_fn, x0.shape, jax.random.PRNGKey(0), clip_denoised=True
+        )
+    )
+    assert len(outs) == d.num_timesteps
+    np.testing.assert_allclose(
+        np.asarray(outs[-1]["sample"]), np.asarray(x0), atol=1e-4
+    )
+
+
+def test_i2i_concat_and_posterior_slice():
+    d, img, x0 = _oracle_setup(mode="i2i")
+    cond = jnp.ones(x0.shape[:-1] + (24,), dtype=jnp.float32) * 0.5
+
+    def model_fn(x_in, t):
+        assert x_in.shape[-1] == 32  # 8 noisy target + 24 cond
+        return jnp.broadcast_to(x0, x_in.shape[:-1] + (8,))
+
+    out = d.p_sample_loop(
+        model_fn, x0.shape, jax.random.PRNGKey(0), cond=cond
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)
+
+
+def test_condition_order():
+    assert condition_order("t1n") == ("t1c", "t2w", "t2f")
+    assert condition_order("t1c") == ("t1n", "t2w", "t2f")
+    assert condition_order("t2w") == ("t1n", "t1c", "t2f")
+    assert condition_order("t2f") == ("t1n", "t1c", "t2w")
+
+
+def test_training_losses_oracle_zero_and_cond_order():
+    d = GaussianDiffusion.named(
+        "linear", 10, sample_schedule="sampled", mode="i2i",
+        mean_type=MeanType.START_X,
+    )
+    vals = {"t1n": 0.1, "t1c": 0.2, "t2w": 0.3, "t2f": 0.4}
+    batch = {
+        m: jnp.full((1, 8, 8, 8, 1), v, dtype=jnp.float32)
+        for m, v in vals.items()
+    }
+    t = jnp.asarray([3])
+    key = jax.random.PRNGKey(0)
+
+    # oracle model: return the target's normalized DWT exactly -> zero loss
+    target_dwt = wv.dwt_normalized(batch["t1c"])
+
+    def oracle(x_in, tt):
+        assert x_in.shape[-1] == 32
+        return jnp.broadcast_to(target_dwt, x_in.shape[:-1] + (8,))
+
+    terms, out, out_idwt = d.training_losses(
+        oracle, batch, t, key, contr="t1c"
+    )
+    np.testing.assert_allclose(np.asarray(terms["mse_wav"]), 0.0, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(out_idwt), np.asarray(batch["t1c"]), atol=1e-5
+    )
+
+    # cond order probe: model echoes cond bands; for constant-v volumes the
+    # normalized LLL is (2*sqrt(2)/3)*v and the high bands are 0.
+    k = 2 * np.sqrt(2.0) / 3.0
+    echo1 = lambda x_in, tt: x_in[..., 8:16]  # noqa: E731  (first condition)
+    _, out1, _ = d.training_losses(echo1, batch, t, key, contr="t1c")
+    np.testing.assert_allclose(
+        float(out1[..., 0].mean()), k * vals["t1n"], rtol=1e-5
+    )
+    echo3 = lambda x_in, tt: x_in[..., 24:32]  # noqa: E731  (third condition)
+    _, out3, _ = d.training_losses(echo3, batch, t, key, contr="t1c")
+    np.testing.assert_allclose(
+        float(out3[..., 0].mean()), k * vals["t2f"], rtol=1e-5
+    )
+
+
+def test_ddim_oracle():
+    d, img, x0 = _oracle_setup()
+    model_fn = lambda x, t: jnp.broadcast_to(x0, x.shape[:-1] + (8,))  # noqa: E731
+    out = d.ddim_sample_loop(model_fn, x0.shape, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)
+
+
+def test_space_timesteps_and_spaced_diffusion():
+    assert space_timesteps(1000, [1000]) == set(range(1000))
+    s = space_timesteps(1000, "ddim10")
+    assert len(s) == 10
+    betas = schedules.linear_betas(1000)
+    d = create_spaced_diffusion(
+        use_timesteps=space_timesteps(1000, [10]), betas=betas
+    )
+    assert d.num_timesteps == 10
+    assert d.original_num_steps == 1000
+    full_acp = np.cumprod(1 - betas)
+    np.testing.assert_allclose(
+        np.asarray(d.alphas_cumprod),
+        full_acp[np.asarray(d.timestep_map)],
+        rtol=1e-5,
+    )
+    # scale_timesteps maps compact -> original indices
+    mapped = d.scale_timesteps(jnp.asarray([0, 9]))
+    assert int(mapped[0]) == int(d.timestep_map[0])
+    assert int(mapped[1]) == int(d.timestep_map[9])
+
+
+def test_uniform_sampler():
+    s = UniformSampler(10)
+    t, w = s.sample(jax.random.PRNGKey(0), 64)
+    assert t.shape == (64,) and int(t.min()) >= 0 and int(t.max()) < 10
+    np.testing.assert_allclose(np.asarray(w), 1.0)
+
+
+def test_loss_aware_sampler():
+    s = LossSecondMomentResampler(4, history_per_term=2)
+    state = s.init_state()
+    t0, w0 = s.sample(jax.random.PRNGKey(0), 8, state)
+    np.testing.assert_allclose(np.asarray(w0), 1.0)  # not warmed: uniform
+    for i in range(4):
+        state = s.update(
+            state,
+            jnp.arange(4),
+            jnp.asarray([1.0, 2.0, 3.0, 4.0]) * (i + 1),
+        )
+    assert bool((state.loss_counts == 2).all())
+    t1, w1 = s.sample(jax.random.PRNGKey(1), 512, state)
+    # higher-loss timesteps must be sampled more often
+    counts = np.bincount(np.asarray(t1), minlength=4)
+    assert counts[3] > counts[0]
+
+
+def test_fixed_small_and_epsilon_paths():
+    # direct linear with <50 steps gives beta>1 and is rejected (the reference
+    # asserts the same, `gaussian_diffusion.py:164`): use 100
+    d = GaussianDiffusion.named(
+        "linear", 100, mean_type=MeanType.EPSILON, var_type=VarType.FIXED_SMALL
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 8)), dtype=jnp.float32)
+    model_fn = lambda xx, t: jnp.zeros_like(xx)  # noqa: E731  predicts eps=0
+    out = d.p_mean_variance(model_fn, x, jnp.asarray([5]), clip_denoised=False)
+    expected_x0 = d.predict_xstart_from_eps(x, jnp.asarray([5]), jnp.zeros_like(x))
+    np.testing.assert_allclose(
+        np.asarray(out["pred_xstart"]), np.asarray(expected_x0), atol=1e-5
+    )
