@@ -1,0 +1,105 @@
+"""Neural-net building blocks (parity surface for
+`/root/reference/guided_diffusion/nn.py`).
+
+TPU-first choices: channels-last ``(B, X, Y, Z, C)`` layout so 3D convs lower
+to XLA's native NDHWC path; GroupNorm statistics always in float32
+(reference ``GroupNorm32``, `nn.py:17-19`) while the surrounding compute can
+run bfloat16; zero-initialized output convs (`zero_module`, `nn.py:68-75`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def timestep_embedding(
+    timesteps: jax.Array, dim: int, max_period: float = 10000.0
+) -> jax.Array:
+    """Sinusoidal embeddings, [cos | sin] order (`nn.py:103-121`).
+
+    Always computed in float32 regardless of ambient dtype.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32)
+        / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def mean_flat(x: jax.Array) -> jax.Array:
+    """Mean over all non-batch dims (`nn.py:95-99`)."""
+    return x.mean(axis=tuple(range(1, x.ndim)))
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with statistics in float32 (`nn.py:17-19`), cast back to
+    the input dtype. Operates on the last (channel) axis."""
+
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(x.dtype)
+
+
+def conv_nd(
+    features: int,
+    kernel: int = 3,
+    *,
+    dims: int = 3,
+    stride: int | Sequence[int] = 1,
+    zero_init: bool = False,
+    feature_group_count: int = 1,
+    dtype=None,
+    name: str | None = None,
+) -> nn.Conv:
+    """N-D convolution with torch-style symmetric padding (`nn.py:22-34`).
+
+    ``zero_init=True`` reproduces the reference's `zero_module` output heads
+    (`nn.py:68-75`).
+    """
+    if isinstance(stride, int):
+        stride = (stride,) * dims
+    pad = (kernel - 1) // 2
+    init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel,) * dims,
+        strides=tuple(stride),
+        padding=[(pad, pad)] * dims,
+        kernel_init=init,
+        feature_group_count=feature_group_count,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def avg_pool_nd(x: jax.Array, window: Sequence[int]) -> jax.Array:
+    """Average pooling over the spatial dims of channels-last input
+    (`nn.py:44-52`). ``window`` has one entry per spatial dim."""
+    window = tuple(window)
+    dims = (1,) + window + (1,)
+    return nn.avg_pool(x, window_shape=window, strides=window)
+
+
+class Identity(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return x

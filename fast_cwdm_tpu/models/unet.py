@@ -1,0 +1,578 @@
+"""3D U-Net diffusion model family (parity surface for
+`/root/reference/guided_diffusion/unet.py`).
+
+TPU-first re-design, not a translation:
+
+* channels-last ``(B, X, Y, Z, C)`` layout — XLA's native conv layout on TPU
+  (the reference is NCDHW, `unet.py:754-800`);
+* no device-placement logic — the reference's 2-GPU decoder split
+  (``UNetModel.to``, `unet.py:727-752`) is replaced by mesh sharding
+  annotations in ``fast_cwdm_tpu.parallel`` (GSPMD decides placement);
+* gradient checkpointing via ``flax.linen.remat`` of whole ResBlocks
+  (reference `nn.py:124-170` hand-rolls a CheckpointFunction);
+* GroupNorm statistics in fp32, everything else may run bf16.
+
+Model surface kept: ``UNetModel``, ``SuperResModel``, ``EncoderUNetModel``
+with the same hyperparameters (`unet.py:482-531`) and identical
+channel/skip/attention bookkeeping, so parameter counts match the reference
+per config.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fast_cwdm_tpu.models.nn import (
+    GroupNorm32,
+    avg_pool_nd,
+    conv_nd,
+    timestep_embedding,
+)
+
+
+def _spatial_axes(ndim: int, dims: int) -> tuple[int, ...]:
+    """Spatial axes of channels-last input with `dims` spatial dims."""
+    return tuple(range(ndim - 1 - dims, ndim - 1))
+
+
+def nearest_upsample(x: jax.Array, dims: int, resample_2d: bool) -> jax.Array:
+    """Nearest-neighbour ×2 upsample; for 3D with ``resample_2d`` only the
+    inner two spatial dims are scaled (`unet.py:60-70`)."""
+    axes = _spatial_axes(x.ndim, dims)
+    if dims == 3 and resample_2d:
+        axes = axes[1:]
+    for ax in axes:
+        x = jnp.repeat(x, 2, axis=ax)
+    return x
+
+
+def _down_window(dims: int, resample_2d: bool) -> tuple[int, ...]:
+    if dims == 3 and resample_2d:
+        return (1, 2, 2)
+    return (2,) * dims
+
+
+class Upsample(nn.Module):
+    """×2 nearest upsample + optional conv (`unet.py:40-70`)."""
+
+    channels: int
+    use_conv: bool
+    dims: int = 3
+    out_channels: int | None = None
+    resample_2d: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert x.shape[-1] == self.channels
+        x = nearest_upsample(x, self.dims, self.resample_2d)
+        if self.use_conv:
+            x = conv_nd(
+                self.out_channels or self.channels,
+                3,
+                dims=self.dims,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Strided-conv or average-pool ×2 downsample (`unet.py:73-100`)."""
+
+    channels: int
+    use_conv: bool
+    dims: int = 3
+    out_channels: int | None = None
+    resample_2d: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert x.shape[-1] == self.channels
+        window = _down_window(self.dims, self.resample_2d)
+        if self.use_conv:
+            return conv_nd(
+                self.out_channels or self.channels,
+                3,
+                dims=self.dims,
+                stride=window,
+                dtype=self.dtype,
+                name="op",
+            )(x)
+        assert (self.out_channels or self.channels) == self.channels
+        return avg_pool_nd(x, window)
+
+
+class ResBlock(nn.Module):
+    """Residual block with timestep conditioning (`unet.py:185-311`).
+
+    GN→SiLU→conv3, temb added (or FiLM scale-shift), GN→SiLU→dropout→zero
+    conv, 1×1 (or 3×3 if ``use_conv``) channel-matching skip. ``up``/``down``
+    apply the resample to both the hidden and the skip branch between the
+    first norm-act and its conv (`unet.py:285-293`).
+    """
+
+    channels: int
+    emb_channels: int
+    dropout: float = 0.0
+    out_channels: int | None = None
+    use_conv: bool = False
+    use_scale_shift_norm: bool = False
+    dims: int = 3
+    up: bool = False
+    down: bool = False
+    num_groups: int = 32
+    resample_2d: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array, train: bool = False):
+        out_ch = self.out_channels or self.channels
+
+        h = GroupNorm32(self.num_groups, name="in_norm")(x)
+        h = nn.silu(h)
+        if self.up:
+            h = nearest_upsample(h, self.dims, self.resample_2d)
+            x = nearest_upsample(x, self.dims, self.resample_2d)
+        elif self.down:
+            window = _down_window(self.dims, self.resample_2d)
+            h = avg_pool_nd(h, window)
+            x = avg_pool_nd(x, window)
+        h = conv_nd(out_ch, 3, dims=self.dims, dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = nn.Dense(
+            2 * out_ch if self.use_scale_shift_norm else out_ch,
+            dtype=self.dtype,
+            name="emb_proj",
+        )(nn.silu(emb)).astype(h.dtype)
+        emb_out = emb_out.reshape(
+            emb_out.shape[0], *([1] * self.dims), emb_out.shape[-1]
+        )
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(self.num_groups, name="out_norm")(h)
+            h = h * (1 + scale) + shift
+        else:
+            h = h + emb_out
+            h = GroupNorm32(self.num_groups, name="out_norm")(h)
+        h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(rate=self.dropout)(h, deterministic=not train)
+        h = conv_nd(
+            out_ch, 3, dims=self.dims, zero_init=True, dtype=self.dtype,
+            name="out_conv",
+        )(h)
+
+        if out_ch == self.channels:
+            skip = x
+        elif self.use_conv:
+            skip = conv_nd(out_ch, 3, dims=self.dims, dtype=self.dtype, name="skip")(x)
+        else:
+            skip = conv_nd(out_ch, 1, dims=self.dims, dtype=self.dtype, name="skip")(x)
+        return skip + h
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over flattened voxels (`unet.py:314-448`).
+
+    ``use_new_attention_order`` switches the qkv channel layout between the
+    legacy (head-major, `QKVAttentionLegacy`, `unet.py:383-409`) and new
+    (qkv-major, `QKVAttention`, `unet.py:416-444`) conventions; this only
+    matters for checkpoint compatibility, the math is identical.
+    """
+
+    channels: int
+    num_heads: int = 1
+    num_head_channels: int = -1
+    use_new_attention_order: bool = False
+    num_groups: int = 32
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.num_head_channels == -1:
+            heads = self.num_heads
+        else:
+            assert self.channels % self.num_head_channels == 0
+            heads = self.channels // self.num_head_channels
+        b, *spatial, c = x.shape
+        ch = c // heads
+
+        flat = x.reshape(b, -1, c)
+        h = GroupNorm32(self.num_groups, name="norm")(flat)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(h)  # (B, T, 3C)
+
+        if self.use_new_attention_order:
+            # layout [q(H*ch) | k(H*ch) | v(H*ch)]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, -1, heads, ch)
+            k = k.reshape(b, -1, heads, ch)
+            v = v.reshape(b, -1, heads, ch)
+        else:
+            # legacy layout: head-major [h0:(q|k|v), h1:(q|k|v), ...]
+            qkv = qkv.reshape(b, -1, heads, 3 * ch)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        scale = 1.0 / math.sqrt(math.sqrt(ch))
+        logits = jnp.einsum(
+            "bthc,bshc->bhts", q * scale, k * scale
+        )
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            logits.dtype
+        )
+        a = jnp.einsum("bhts,bshc->bthc", weights, v).reshape(b, -1, c)
+        a = nn.Dense(
+            c,
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="proj_out",
+        )(a)
+        return (flat + a).reshape(b, *spatial, c)
+
+
+class UNetModel(nn.Module):
+    """The production denoiser (`unet.py:451-800`).
+
+    Config surface and channel/skip bookkeeping match the reference exactly
+    (encoder: per-level ResBlocks + optional attention + downsample;
+    bottleneck ResBlock[+Attn]+ResBlock; decoder: skip concat — or averaged
+    additive skips — with an extra ResBlock per level and upsample).
+    """
+
+    image_size: int
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_resolutions: Sequence[int] = ()
+    dropout: float = 0.0
+    channel_mult: Sequence[int] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    dims: int = 3
+    num_classes: int | None = None
+    use_checkpoint: bool = False
+    num_heads: int = 1
+    num_head_channels: int = -1
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    use_new_attention_order: bool = False
+    num_groups: int = 32
+    bottleneck_attention: bool = True
+    resample_2d: bool = True
+    additive_skips: bool = False
+    dtype: jnp.dtype | None = None
+
+    def _resblock(self, **kw) -> ResBlock:
+        cls = ResBlock
+        if self.use_checkpoint:
+            cls = nn.remat(ResBlock, static_argnums=(3,))
+        kw.setdefault("dropout", self.dropout)
+        kw.setdefault("dims", self.dims)
+        kw.setdefault("use_scale_shift_norm", self.use_scale_shift_norm)
+        kw.setdefault("num_groups", self.num_groups)
+        kw.setdefault("resample_2d", self.resample_2d)
+        kw.setdefault("dtype", self.dtype)
+        return cls(**kw)
+
+    def _attention(self, ch: int, heads: int) -> AttentionBlock:
+        return AttentionBlock(
+            channels=ch,
+            num_heads=heads,
+            num_head_channels=self.num_head_channels,
+            use_new_attention_order=self.use_new_attention_order,
+            num_groups=self.num_groups,
+            dtype=self.dtype,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        y: jax.Array | None = None,
+        train: bool = False,
+    ) -> jax.Array:
+        assert (y is not None) == (self.num_classes is not None)
+        heads_up = (
+            self.num_heads
+            if self.num_heads_upsample == -1
+            else self.num_heads_upsample
+        )
+        ted = self.model_channels * 4
+        emb = nn.Dense(ted, name="time_embed_0")(
+            timestep_embedding(timesteps, self.model_channels)
+        )
+        emb = nn.Dense(ted, name="time_embed_2")(nn.silu(emb))
+        if self.num_classes is not None:
+            emb = emb + nn.Embed(self.num_classes, ted, name="label_emb")(y)
+        emb = emb.astype(self.dtype or x.dtype)
+
+        # ------------------------- encoder -------------------------
+        h = conv_nd(
+            self.model_channels, 3, dims=self.dims, dtype=self.dtype,
+            name="input_conv",
+        )(x)
+        hs = [h]
+        skip_chans = [self.model_channels]
+        ch = self.model_channels
+        ds = 1
+        bidx = 0
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                h = self._resblock(
+                    channels=ch,
+                    emb_channels=ted,
+                    out_channels=mult * self.model_channels,
+                    name=f"in_{bidx}_res",
+                )(h, emb, train)
+                ch = mult * self.model_channels
+                if ds in self.attention_resolutions:
+                    h = self._attention(ch, self.num_heads)(h)
+                hs.append(h)
+                skip_chans.append(ch)
+                bidx += 1
+            if level != len(self.channel_mult) - 1:
+                if self.resblock_updown:
+                    h = self._resblock(
+                        channels=ch,
+                        emb_channels=ted,
+                        out_channels=ch,
+                        down=True,
+                        name=f"in_{bidx}_down",
+                    )(h, emb, train)
+                else:
+                    h = Downsample(
+                        ch,
+                        self.conv_resample,
+                        dims=self.dims,
+                        out_channels=ch,
+                        resample_2d=self.resample_2d,
+                        dtype=self.dtype,
+                        name=f"in_{bidx}_down",
+                    )(h)
+                hs.append(h)
+                skip_chans.append(ch)
+                ds *= 2
+                bidx += 1
+
+        # ------------------------- bottleneck -------------------------
+        h = self._resblock(
+            channels=ch, emb_channels=ted, name="mid_res0"
+        )(h, emb, train)
+        if self.bottleneck_attention:
+            h = self._attention(ch, self.num_heads)(h)
+        h = self._resblock(
+            channels=ch, emb_channels=ted, name="mid_res1"
+        )(h, emb, train)
+
+        # ------------------------- decoder -------------------------
+        bidx = 0
+        for level, mult in list(enumerate(self.channel_mult))[::-1]:
+            for i in range(self.num_res_blocks + 1):
+                ich = skip_chans.pop()
+                new_hs = hs.pop()
+                if self.additive_skips:
+                    # averaged additive skips (`unet.py:664-669,793-795`)
+                    mid_ch = skip_chans[-1] if skip_chans else self.model_channels
+                    h = (h + new_hs) / 2.0
+                    in_ch = ch
+                else:
+                    mid_ch = self.model_channels * mult
+                    h = jnp.concatenate([h, new_hs], axis=-1)
+                    in_ch = ch + ich
+                h = self._resblock(
+                    channels=in_ch,
+                    emb_channels=ted,
+                    out_channels=mid_ch,
+                    name=f"out_{bidx}_res",
+                )(h, emb, train)
+                if ds in self.attention_resolutions:
+                    h = self._attention(mid_ch, heads_up)(h)
+                ch = mid_ch
+                if level and i == self.num_res_blocks:
+                    if self.resblock_updown:
+                        h = self._resblock(
+                            channels=ch,
+                            emb_channels=ted,
+                            out_channels=ch,
+                            up=True,
+                            name=f"out_{bidx}_up",
+                        )(h, emb, train)
+                    else:
+                        h = Upsample(
+                            ch,
+                            self.conv_resample,
+                            dims=self.dims,
+                            out_channels=ch,
+                            resample_2d=self.resample_2d,
+                            dtype=self.dtype,
+                            name=f"out_{bidx}_up",
+                        )(h)
+                    ds //= 2
+                bidx += 1
+
+        h = GroupNorm32(self.num_groups, name="out_norm")(h)
+        h = nn.silu(h)
+        return conv_nd(
+            self.out_channels, 3, dims=self.dims, zero_init=True,
+            name="out_conv",
+        )(h).astype(jnp.float32)
+
+
+class SuperResModel(nn.Module):
+    """2D super-resolution wrapper (`unet.py:803-817`): conditions on a
+    bilinear-upsampled low-res image concatenated on channels."""
+
+    unet: UNetModel
+
+    @nn.compact
+    def __call__(self, x, timesteps, low_res=None, train: bool = False, **kw):
+        b, *spatial, _ = x.shape
+        up = jax.image.resize(
+            low_res,
+            (b, *spatial, low_res.shape[-1]),
+            method="bilinear",
+        )
+        return self.unet(
+            jnp.concatenate([x, up], axis=-1), timesteps, train=train, **kw
+        )
+
+
+class EncoderUNetModel(nn.Module):
+    """Half-UNet classifier (`unet.py:820-1044`); constructed by
+    ``create_classifier`` — unused by the production scripts but part of the
+    public surface. Pooling modes: adaptive / spatial / spatial_v2."""
+
+    image_size: int
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_resolutions: Sequence[int] = ()
+    dropout: float = 0.0
+    channel_mult: Sequence[int] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    dims: int = 3
+    num_heads: int = 1
+    num_head_channels: int = -1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    use_new_attention_order: bool = False
+    pool: str = "adaptive"
+    num_groups: int = 32
+    resample_2d: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, timesteps, train: bool = False):
+        ted = self.model_channels * 4
+        emb = nn.Dense(ted, name="time_embed_0")(
+            timestep_embedding(timesteps, self.model_channels)
+        )
+        emb = nn.Dense(ted, name="time_embed_2")(nn.silu(emb))
+
+        def resblock(ch_in, name, **kw):
+            return ResBlock(
+                channels=ch_in,
+                emb_channels=ted,
+                dropout=self.dropout,
+                dims=self.dims,
+                use_scale_shift_norm=self.use_scale_shift_norm,
+                num_groups=self.num_groups,
+                resample_2d=self.resample_2d,
+                dtype=self.dtype,
+                name=name,
+                **kw,
+            )
+
+        h = conv_nd(
+            self.model_channels, 3, dims=self.dims, dtype=self.dtype,
+            name="input_conv",
+        )(x)
+        results = []
+        ch = self.model_channels
+        ds = 1
+        bidx = 0
+        sp_axes = _spatial_axes(h.ndim, self.dims)
+        if self.pool.startswith("spatial"):
+            results.append(h.mean(axis=sp_axes))
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                h = resblock(
+                    ch, f"in_{bidx}_res", out_channels=mult * self.model_channels
+                )(h, emb, train)
+                ch = mult * self.model_channels
+                if ds in self.attention_resolutions:
+                    h = AttentionBlock(
+                        channels=ch,
+                        num_heads=self.num_heads,
+                        num_head_channels=self.num_head_channels,
+                        use_new_attention_order=self.use_new_attention_order,
+                        num_groups=self.num_groups,
+                        dtype=self.dtype,
+                        name=f"in_{bidx}_attn",
+                    )(h)
+                if self.pool.startswith("spatial"):
+                    results.append(h.mean(axis=sp_axes))
+                bidx += 1
+            if level != len(self.channel_mult) - 1:
+                if self.resblock_updown:
+                    h = resblock(ch, f"in_{bidx}_down", out_channels=ch, down=True)(
+                        h, emb, train
+                    )
+                else:
+                    h = Downsample(
+                        ch,
+                        self.conv_resample,
+                        dims=self.dims,
+                        out_channels=ch,
+                        resample_2d=self.resample_2d,
+                        dtype=self.dtype,
+                        name=f"in_{bidx}_down",
+                    )(h)
+                if self.pool.startswith("spatial"):
+                    results.append(h.mean(axis=sp_axes))
+                ds *= 2
+                bidx += 1
+
+        h = resblock(ch, "mid_res0")(h, emb, train)
+        h = AttentionBlock(
+            channels=ch,
+            num_heads=self.num_heads,
+            num_head_channels=self.num_head_channels,
+            use_new_attention_order=self.use_new_attention_order,
+            num_groups=self.num_groups,
+            dtype=self.dtype,
+            name="mid_attn",
+        )(h)
+        h = resblock(ch, "mid_res1")(h, emb, train)
+
+        if self.pool == "adaptive":
+            h = GroupNorm32(self.num_groups, name="out_norm")(h)
+            h = nn.silu(h)
+            h = h.mean(axis=sp_axes, keepdims=True)
+            h = conv_nd(
+                self.out_channels, 1, dims=self.dims, zero_init=True,
+                name="out_conv",
+            )(h)
+            return h.reshape(h.shape[0], -1)
+        if self.pool == "spatial":
+            results.append(h.mean(axis=sp_axes))
+            h = jnp.concatenate(results, axis=-1)
+            return nn.Dense(self.out_channels, name="out_dense")(h)
+        if self.pool == "spatial_v2":
+            results.append(h.mean(axis=sp_axes))
+            h = jnp.concatenate(results, axis=-1)
+            h = nn.Dense(2048, name="out_dense0")(h)
+            h = GroupNorm32(self.num_groups, name="out_norm")(h)
+            h = nn.silu(h)
+            return nn.Dense(self.out_channels, name="out_dense1")(h)
+        raise NotImplementedError(f"Unexpected {self.pool} pooling")
