@@ -604,7 +604,13 @@ class GaussianDiffusion:
         # per-subband MSE: mean over spatial dims then over batch (:1164)
         sq = (x_start_dwt - model_output) ** 2
         mse_wav = sq.mean(axis=tuple(range(1, sq.ndim - 1))).mean(axis=0)
-        terms = {"mse_wav": mse_wav}
+        # per-example scalar loss, for loss-aware timestep samplers
+        # (the reference's sampler-weight plumbing is dead code — it shadows
+        # the weights with ones, `train_util.py:447-449`)
+        terms = {
+            "mse_wav": mse_wav,
+            "loss_per_sample": sq.mean(axis=tuple(range(1, sq.ndim))),
+        }
         return terms, model_output, model_output_idwt
 
     # ------------------------------------------------------------------

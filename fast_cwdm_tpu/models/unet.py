@@ -282,7 +282,7 @@ class UNetModel(nn.Module):
         kw.setdefault("dtype", self.dtype)
         return cls(**kw)
 
-    def _attention(self, ch: int, heads: int) -> AttentionBlock:
+    def _attention(self, ch: int, heads: int, name: str) -> AttentionBlock:
         return AttentionBlock(
             channels=ch,
             num_heads=heads,
@@ -290,6 +290,7 @@ class UNetModel(nn.Module):
             use_new_attention_order=self.use_new_attention_order,
             num_groups=self.num_groups,
             dtype=self.dtype,
+            name=name,
         )
 
     @nn.compact
@@ -335,7 +336,7 @@ class UNetModel(nn.Module):
                 )(h, emb, train)
                 ch = mult * self.model_channels
                 if ds in self.attention_resolutions:
-                    h = self._attention(ch, self.num_heads)(h)
+                    h = self._attention(ch, self.num_heads, f"in_{bidx}_attn")(h)
                 hs.append(h)
                 skip_chans.append(ch)
                 bidx += 1
@@ -368,7 +369,7 @@ class UNetModel(nn.Module):
             channels=ch, emb_channels=ted, name="mid_res0"
         )(h, emb, train)
         if self.bottleneck_attention:
-            h = self._attention(ch, self.num_heads)(h)
+            h = self._attention(ch, self.num_heads, "mid_attn")(h)
         h = self._resblock(
             channels=ch, emb_channels=ted, name="mid_res1"
         )(h, emb, train)
@@ -395,7 +396,7 @@ class UNetModel(nn.Module):
                     name=f"out_{bidx}_res",
                 )(h, emb, train)
                 if ds in self.attention_resolutions:
-                    h = self._attention(mid_ch, heads_up)(h)
+                    h = self._attention(mid_ch, heads_up, f"out_{bidx}_attn")(h)
                 ch = mid_ch
                 if level and i == self.num_res_blocks:
                     if self.resblock_updown:

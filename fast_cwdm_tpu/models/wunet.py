@@ -227,7 +227,7 @@ class WavUNetModel(nn.Module):
         kw.setdefault("dtype", self.dtype)
         return cls(**kw)
 
-    def _attention(self, ch: int, heads: int) -> AttentionBlock:
+    def _attention(self, ch: int, heads: int, name: str) -> AttentionBlock:
         return AttentionBlock(
             channels=ch,
             num_heads=heads,
@@ -235,6 +235,7 @@ class WavUNetModel(nn.Module):
             use_new_attention_order=self.use_new_attention_order,
             num_groups=self.num_groups,
             dtype=self.dtype,
+            name=name,
         )
 
     @nn.compact
@@ -272,7 +273,7 @@ class WavUNetModel(nn.Module):
                 )(h, emb, train=train)
                 ch = mult * self.model_channels
                 if ds in self.attention_resolutions:
-                    h = self._attention(ch, self.num_heads)(h)
+                    h = self._attention(ch, self.num_heads, f"in_{bidx}_attn")(h)
                 hs.append(None)
                 bidx += 1
             # frequency downsample — EVERY level, incl. the last
@@ -316,7 +317,7 @@ class WavUNetModel(nn.Module):
             h, emb, train=train
         )
         if self.bottleneck_attention:
-            h = self._attention(ch, self.num_heads)(h)
+            h = self._attention(ch, self.num_heads, "mid_attn")(h)
         h, _ = self._resblock(channels=ch, emb_channels=ted, name="mid_res1")(
             h, emb, train=train
         )
@@ -339,7 +340,7 @@ class WavUNetModel(nn.Module):
                         name=f"out_{bidx}_res",
                     )(h, emb, train=train)
                     if ds in self.attention_resolutions:
-                        h = self._attention(mid_ch, heads_up)(h)
+                        h = self._attention(mid_ch, heads_up, f"out_{bidx}_attn")(h)
                     ch = mid_ch
                 else:  # upsample block
                     if self.resblock_updown:

@@ -1,0 +1,108 @@
+"""Mesh + sharding utilities (TPU-native replacement for
+`/root/reference/guided_diffusion/dist_util.py`).
+
+The reference manages an explicit process group (NCCL/Gloo backend pick at
+`dist_util.py:34`, env-var rendezvous `:42-53`) and moves tensors with
+`.to(dev)`; here all of that collapses into:
+
+* `setup_distributed()` — `jax.distributed.initialize()` for multi-host (a
+  no-op single-host);
+* `make_mesh(data=-1, sp=1)` — an ICI-aligned `jax.sharding.Mesh` with a
+  ``data`` axis (batch / DP) and optional ``sp`` axis (spatial sharding of
+  the volume; XLA GSPMD inserts conv/DWT halo exchanges automatically);
+* sharding helpers used by the jitted train/sample steps. Gradient averaging
+  is XLA's automatic `psum` under `jit` with sharded inputs — there is no
+  hand-written all-reduce anywhere in the framework.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPATIAL_AXIS = "sp"
+
+
+def setup_distributed() -> None:
+    """Multi-host init (`jax.distributed`); single-process is a no-op.
+
+    Parity surface for `dist_util.setup_dist` (`dist_util.py:20-53`) minus
+    the port/rank bookkeeping JAX handles itself.
+    """
+    try:
+        if jax.process_count() > 1:
+            return  # already initialized
+    except RuntimeError:
+        pass
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+
+def make_mesh(
+    data: int = -1,
+    sp: int = 1,
+    *,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a ``(data, sp)`` mesh over the available devices.
+
+    ``data=-1`` uses all devices not consumed by ``sp``. Device order comes
+    from `mesh_utils.create_device_mesh` so the ``data`` axis rides ICI
+    neighbours (scaling-book recipe: innermost axis ↔ fastest links).
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if data == -1:
+        if n % sp:
+            raise ValueError(f"{n} devices not divisible by sp={sp}")
+        data = n // sp
+    if data * sp != n:
+        devices = devices[: data * sp]
+    dev_array = mesh_utils.create_device_mesh(
+        (data, sp), devices=np.asarray(devices)
+    )
+    return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def batch_spec(mesh: Mesh, ndim: int, *, spatial_axis_index: int = 2) -> P:
+    """PartitionSpec for a channels-last batch ``(B, X, Y, Z, C)``:
+    batch over ``data``, one spatial dim over ``sp`` (if sp > 1)."""
+    spec = [None] * ndim
+    spec[0] = DATA_AXIS
+    if mesh.shape[SPATIAL_AXIS] > 1 and ndim > spatial_axis_index:
+        spec[spatial_axis_index] = SPATIAL_AXIS
+    return P(*spec)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 5) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec(mesh, ndim))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a host batch pytree with batch/data (+ spatial) sharding."""
+    def put(x):
+        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+
+    return jax.tree.map(put, tree)
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    """Per-data-shard batch (reference `global_batch = batch *
+    world_size`, `train_util.py:96`, inverted)."""
+    ndata = mesh.shape[DATA_AXIS]
+    if global_batch % ndata:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by data axis {ndata}"
+        )
+    return global_batch // ndata

@@ -1,0 +1,253 @@
+"""Torch-checkpoint bridge: import/export reference ``.pt`` state dicts.
+
+The reference publishes trained weights as torch ``state_dict`` blobs
+(README.md:28-31, saved at `train_util.py:343-356`); this module maps them
+to/from the Flax ``UNetModel`` parameter pytree:
+
+* torch ``Conv3d`` OIDHW kernels → Flax DHWIO (channels-last);
+* ``Linear`` (O,I) → Dense (I,O);
+* ``GroupNorm`` weight/bias → scale/bias;
+* attention ``Conv1d`` 1×1 kernels → Dense.
+
+The module-index ↔ name mapping is derived by replaying the reference's
+construction bookkeeping (`unet.py:544-725`) against the model config — no
+reference code is imported.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from fast_cwdm_tpu.models.unet import UNetModel
+
+
+# ---------------------------------------------------------------------------
+# Layout walk: (torch module path, flax module name, kind)
+# ---------------------------------------------------------------------------
+
+
+def unet_layout(model: UNetModel) -> Iterator[tuple[str, str, str]]:
+    """Replay `UNetModel.__init__` bookkeeping (`unet.py:544-725`) to pair
+    torch ``input_blocks.N.M``-style paths with our flax module names."""
+    yield "time_embed.0", "time_embed_0", "linear"
+    yield "time_embed.2", "time_embed_2", "linear"
+    if model.num_classes is not None:
+        yield "label_emb", "label_emb", "embed"
+    yield "input_blocks.0.0", "input_conv", "conv"
+
+    nrb = model.num_res_blocks
+    ds = 1
+    tidx = 1
+    bidx = 0
+    for level, mult in enumerate(model.channel_mult):
+        for _ in range(nrb):
+            yield f"input_blocks.{tidx}.0", f"in_{bidx}_res", "res"
+            if ds in model.attention_resolutions:
+                yield f"input_blocks.{tidx}.1", f"in_{bidx}_attn", "attn"
+            tidx += 1
+            bidx += 1
+        if level != len(model.channel_mult) - 1:
+            if model.resblock_updown:
+                yield f"input_blocks.{tidx}.0", f"in_{bidx}_down", "res"
+            else:
+                yield f"input_blocks.{tidx}.0", f"in_{bidx}_down", "downsample"
+            tidx += 1
+            bidx += 1
+            ds *= 2
+
+    yield "middle_block.0", "mid_res0", "res"
+    mi = 1
+    if model.bottleneck_attention:
+        yield "middle_block.1", "mid_attn", "attn"
+        mi = 2
+    yield f"middle_block.{mi}", "mid_res1", "res"
+
+    bidx = 0
+    for level, _mult in list(enumerate(model.channel_mult))[::-1]:
+        for i in range(nrb + 1):
+            yield f"output_blocks.{bidx}.0", f"out_{bidx}_res", "res"
+            sub = 1
+            if ds in model.attention_resolutions:
+                yield f"output_blocks.{bidx}.{sub}", f"out_{bidx}_attn", "attn"
+                sub += 1
+            if level and i == nrb:
+                if model.resblock_updown:
+                    yield f"output_blocks.{bidx}.{sub}", f"out_{bidx}_up", "res"
+                else:
+                    yield f"output_blocks.{bidx}.{sub}", f"out_{bidx}_up", "upsample"
+                ds //= 2
+            bidx += 1
+
+    yield "out.0", "out_norm", "norm"
+    yield "out.2", "out_conv", "conv"
+
+
+# per kind: (torch suffix, flax suffix, leaf kind)
+_KIND_LEAVES = {
+    "conv": [("", "", "conv")],
+    "linear": [("", "", "linear")],
+    "embed": [("", "", "embed")],
+    "norm": [("", "GroupNorm_0", "norm")],
+    "downsample": [("op", "op", "conv")],
+    "upsample": [("conv", "conv", "conv")],
+    "res": [
+        ("in_layers.0", "in_norm/GroupNorm_0", "norm"),
+        ("in_layers.2", "in_conv", "conv"),
+        ("emb_layers.1", "emb_proj", "linear"),
+        ("out_layers.0", "out_norm/GroupNorm_0", "norm"),
+        ("out_layers.3", "out_conv", "conv"),
+        ("skip_connection", "skip", "conv_optional"),
+    ],
+    "attn": [
+        ("norm", "norm/GroupNorm_0", "norm"),
+        ("qkv", "qkv", "conv1d_dense"),
+        ("proj_out", "proj_out", "conv1d_dense"),
+    ],
+}
+
+
+def _leaf_entries(model: UNetModel):
+    for tpath, fpath, kind in unet_layout(model):
+        for tsuf, fsuf, leaf_kind in _KIND_LEAVES[kind]:
+            tfull = f"{tpath}.{tsuf}" if tsuf else tpath
+            ffull = f"{fpath}/{fsuf}" if fsuf else fpath
+            yield tfull, ffull, leaf_kind
+
+
+# ---------------------------------------------------------------------------
+# Leaf conversions
+# ---------------------------------------------------------------------------
+
+
+def _t2f_leaf(kind: str, name: str, w: np.ndarray, dims: int):
+    """torch leaf → (flax leaf name, array)."""
+    if kind == "norm":
+        return ("scale" if name == "weight" else "bias"), w
+    if name == "bias":
+        return "bias", w
+    if kind.startswith("conv_optional"):
+        kind = "conv"
+    if kind == "conv":
+        # torch (O, I, *k) — k may be fewer dims for 1x1; handle generally
+        k = w.ndim - 2
+        return "kernel", np.transpose(w, (*range(2, 2 + k), 1, 0))
+    if kind == "conv1d_dense":
+        return "kernel", w[:, :, 0].T
+    if kind == "linear":
+        return "kernel", w.T
+    if kind == "embed":
+        return "embedding", w
+    raise ValueError(kind)
+
+
+def _f2t_leaf(kind: str, name: str, w: np.ndarray):
+    """flax leaf → (torch leaf name, array)."""
+    if kind == "norm":
+        return ("weight" if name == "scale" else "bias"), w
+    if name == "bias":
+        return "bias", w
+    if kind.startswith("conv_optional"):
+        kind = "conv"
+    if kind == "conv":
+        k = w.ndim - 2
+        return "weight", np.transpose(w, (k + 1, k, *range(k)))
+    if kind == "conv1d_dense":
+        return "weight", w.T[:, :, None]
+    if kind == "linear":
+        return "weight", w.T
+    if kind == "embed":
+        return "weight", w
+    raise ValueError(kind)
+
+
+def _nest(flat: dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for path, v in flat.items():
+        node = tree
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def _flatten(tree, prefix="") -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, p))
+        else:
+            out[p] = np.asarray(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def torch_to_flax(state_dict: dict[str, np.ndarray], model: UNetModel) -> dict:
+    """Convert a reference torch state_dict (tensor→numpy) to a Flax
+    ``params`` tree for ``model``. Raises on unconsumed/missing keys."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    flat: dict[str, np.ndarray] = {}
+    consumed = set()
+    for tfull, ffull, leaf_kind in _leaf_entries(model):
+        for tname in ("weight", "bias"):
+            tk = f"{tfull}.{tname}"
+            if tk not in sd:
+                if leaf_kind == "conv_optional" or (
+                    tname == "bias" and leaf_kind == "embed"
+                ):
+                    continue
+                raise KeyError(f"missing torch key {tk}")
+            fname, arr = _t2f_leaf(leaf_kind, tname, sd[tk], model.dims)
+            flat[f"{ffull}/{fname}"] = arr.astype(np.float32)
+            consumed.add(tk)
+        if leaf_kind == "embed":
+            tk = tfull + ".weight"  # already handled above
+    leftovers = set(sd) - consumed
+    if leftovers:
+        raise KeyError(f"unconsumed torch keys: {sorted(leftovers)[:8]} ...")
+    return _nest(flat)
+
+
+def flax_to_torch(params: dict, model: UNetModel) -> dict[str, np.ndarray]:
+    """Inverse of :func:`torch_to_flax` (for `.pt` export)."""
+    flat = _flatten(params)
+    out: dict[str, np.ndarray] = {}
+    consumed = set()
+    for tfull, ffull, leaf_kind in _leaf_entries(model):
+        for fname in ("kernel", "bias", "scale", "embedding"):
+            fk = f"{ffull}/{fname}"
+            if fk not in flat:
+                continue
+            tname, arr = _f2t_leaf(leaf_kind, fname, flat[fk])
+            out[f"{tfull}.{tname}"] = arr
+            consumed.add(fk)
+    leftovers = set(flat) - consumed
+    if leftovers:
+        raise KeyError(f"unconsumed flax keys: {sorted(leftovers)[:8]} ...")
+    return out
+
+
+def load_torch_unet(path: str, model: UNetModel) -> dict:
+    """Load a reference ``.pt`` checkpoint into Flax params (needs torch)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    return torch_to_flax(sd, model)
+
+
+def save_torch_unet(path: str, params: dict, model: UNetModel) -> None:
+    """Export Flax params as a reference-compatible torch ``.pt``."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in flax_to_torch(params, model).items()}
+    torch.save(sd, path)

@@ -1,0 +1,183 @@
+"""Checkpointing: best-per-modality persistence + ledger.
+
+Parity surface for `/root/reference/guided_diffusion/train_util.py:120-145,
+315-362,476-537`:
+
+* best-only regime: ``brats_{contr}_BEST_{sample_schedule}_{steps}.ckpt``
+  (+ ``opt_best_{contr}.ckpt``), previous best deleted;
+* ``best_losses.txt`` ledger with ``{modality}:{loss}`` lines;
+* legacy step-stamped names ``brats_{contr}_{step:06d}_{schedule}_{steps}``.
+
+Improvement over the reference (documented deviation): the full config dict
+is serialized INSIDE the checkpoint (msgpack) and as a JSON sidecar, so
+nothing needs to be re-parsed out of filenames (the reference scrapes
+hyperparameters from checkpoint FILENAMES, `complete_dataset.py:107-127`).
+The filename convention is still honored for discovery parity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from glob import glob
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+# ---------------------------------------------------------------------------
+# Ledger (`train_util.py:120-145`)
+# ---------------------------------------------------------------------------
+
+
+def load_best_losses(ckpt_dir: str) -> dict[str, float]:
+    path = os.path.join(ckpt_dir, "best_losses.txt")
+    best: dict[str, float] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if ":" in line:
+                    k, v = line.split(":", 1)
+                    best[k.strip()] = float(v)
+    return best
+
+
+def save_best_losses(ckpt_dir: str, best: dict[str, float]) -> None:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, "best_losses.txt")
+    with open(path, "w") as f:
+        for k, v in sorted(best.items()):
+            f.write(f"{k}:{v}\n")
+
+
+# ---------------------------------------------------------------------------
+# Save / load
+# ---------------------------------------------------------------------------
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path: str,
+    payload: dict[str, Any],
+    config: dict[str, Any] | None = None,
+) -> None:
+    """msgpack-serialize a pytree payload (+ config sidecar JSON)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    blob = serialization.to_bytes(_to_host(payload))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    if config is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(config, f, indent=2, default=str)
+
+
+def load_checkpoint(path: str, template: dict[str, Any]) -> dict[str, Any]:
+    with open(path, "rb") as f:
+        blob = f.read()
+    return serialization.from_bytes(template, blob)
+
+
+def load_checkpoint_config(path: str) -> dict[str, Any] | None:
+    side = path + ".json"
+    if os.path.exists(side):
+        with open(side) as f:
+            return json.load(f)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Filename conventions
+# ---------------------------------------------------------------------------
+
+
+def best_checkpoint_name(
+    contr: str, sample_schedule: str, diffusion_steps: int, dataset: str = "brats"
+) -> str:
+    """(`train_util.py:339-341`)"""
+    return f"{dataset}_{contr}_BEST_{sample_schedule}_{diffusion_steps}.ckpt"
+
+
+def step_checkpoint_name(
+    contr: str,
+    step: int,
+    sample_schedule: str,
+    diffusion_steps: int,
+    dataset: str = "brats",
+) -> str:
+    """Legacy step-stamped name (`train_util.py:476-514`)."""
+    return f"{dataset}_{contr}_{step:06d}_{sample_schedule}_{diffusion_steps}.ckpt"
+
+
+def find_best_checkpoint(ckpt_dir: str, contr: str, dataset: str = "brats"):
+    """Discovery parity with `complete_dataset.py:75-104`: newest
+    ``{dataset}_{contr}_BEST_*``; returns (path, sample_schedule, steps)."""
+    pattern = os.path.join(ckpt_dir, f"{dataset}_{contr}_BEST_*.ckpt")
+    matches = sorted(glob(pattern), key=os.path.getmtime)
+    if not matches:
+        return None
+    path = matches[-1]
+    cfg = load_checkpoint_config(path)
+    if cfg and "sample_schedule" in cfg:
+        return path, cfg["sample_schedule"], int(cfg["diffusion_steps"])
+    m = re.match(
+        rf".*{re.escape(dataset)}_{re.escape(contr)}_BEST_(\w+?)_(\d+)\.ckpt$",
+        path,
+    )
+    if m:
+        return path, m.group(1), int(m.group(2))
+    return path, "direct", 1000
+
+
+def parse_resume_step_from_filename(filename: str) -> int:
+    """Trailing-digit scrape parity (`train_util.py:517-537`)."""
+    stem = os.path.basename(filename).rsplit(".", 1)[0]
+    digits = re.findall(r"(\d+)", stem)
+    return int(digits[-1]) if digits else 0
+
+
+def save_if_best(
+    ckpt_dir: str,
+    contr: str,
+    loss: float,
+    payload: dict[str, Any],
+    opt_payload: dict[str, Any] | None,
+    *,
+    sample_schedule: str,
+    diffusion_steps: int,
+    dataset: str = "brats",
+    config: dict[str, Any] | None = None,
+) -> bool:
+    """Keep ONE best checkpoint per modality (`train_util.py:315-362`),
+    deleting the previous best. Returns True if saved."""
+    best = load_best_losses(ckpt_dir)
+    if contr in best and loss >= best[contr]:
+        return False
+    # delete previous best files for this modality
+    for old in glob(os.path.join(ckpt_dir, f"{dataset}_{contr}_BEST_*.ckpt")):
+        for p in (old, old + ".json"):
+            if os.path.exists(p):
+                os.remove(p)
+    name = best_checkpoint_name(contr, sample_schedule, diffusion_steps, dataset)
+    save_checkpoint(os.path.join(ckpt_dir, name), payload, config)
+    if opt_payload is not None:
+        save_checkpoint(
+            os.path.join(ckpt_dir, f"opt_best_{contr}.ckpt"), opt_payload
+        )
+    best[contr] = float(loss)
+    save_best_losses(ckpt_dir, best)
+    return True
+
+
+def get_blob_logdir() -> str:
+    """Checkpoint root (`train_util.py:540-545`): $DIFFUSION_BLOB_LOGDIR or
+    ./checkpoints (the reference hard-codes /data/checkpoints)."""
+    return os.environ.get("DIFFUSION_BLOB_LOGDIR", "checkpoints")

@@ -1,0 +1,285 @@
+"""Training loop (parity surface for `TrainLoop`,
+`/root/reference/guided_diffusion/train_util.py:32-362`).
+
+TPU-first structure:
+
+* the whole optimizer step is ONE donated jit (`training/train.py`); the
+  loop only feeds sharded batches and occasionally pulls metrics — no
+  per-step `.item()` syncs (the reference does ≥8, SURVEY §3.1);
+* metrics are fetched every ``log_interval`` via a single device→host
+  transfer of the last step's metric dict;
+* per-phase wall-clock accumulators print the reference's ``[PROFILE]``
+  line (`train_util.py:302-309`);
+* `DIFFUSION_TRAINING_TEST` env hook returns after the first save
+  (`train_util.py:297-298`);
+* best-checkpoint persistence per modality with the `best_losses.txt`
+  ledger (`train_util.py:315-362`).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+import numpy as np
+
+from fast_cwdm_tpu.diffusion.gaussian import GaussianDiffusion
+from fast_cwdm_tpu.diffusion.resample import UniformSampler
+from fast_cwdm_tpu.parallel import mesh as pmesh
+from fast_cwdm_tpu.training import checkpoints as ckpt
+from fast_cwdm_tpu.training.state import TrainState
+from fast_cwdm_tpu.training.train import make_optimizer, make_train_step
+from fast_cwdm_tpu.utils import logger
+
+SUBBAND_NAMES = ("lll", "llh", "lhl", "lhh", "hll", "hlh", "hhl", "hhh")
+
+
+def _infinite(iterable_factory: Callable[[], Iterable]) -> Iterator:
+    """Infinite-epoch iterator (`train_util.py:190-197`'s StopIteration
+    restart, without the exception control flow)."""
+    while True:
+        yield from iterable_factory()
+
+
+class TrainLoop:
+    def __init__(
+        self,
+        *,
+        model,
+        diffusion: GaussianDiffusion,
+        data: Callable[[], Iterable] | Iterable,
+        batch_size: int,
+        lr: float = 1e-5,
+        ema_rate: str | float = "0.9999",
+        log_interval: int = 100,
+        save_interval: int = 50,
+        resume_checkpoint: str = "",
+        resume_step: int = 0,
+        weight_decay: float = 0.0,
+        lr_anneal_steps: int = 0,
+        mode: str = "i2i",
+        contr: str = "t1n",
+        sample_schedule: str = "direct",
+        diffusion_steps: int = 1000,
+        dataset: str = "brats",
+        schedule_sampler=None,
+        seed: int = 0,
+        mesh=None,
+        checkpoint_dir: str | None = None,
+        config: dict | None = None,
+    ):
+        self.model = model
+        self.diffusion = diffusion
+        self.data_factory = data if callable(data) else (lambda: data)
+        self.batch_size = batch_size
+        self.log_interval = log_interval
+        self.save_interval = save_interval
+        self.lr_anneal_steps = lr_anneal_steps
+        self.mode = mode
+        self.contr = contr
+        self.sample_schedule = sample_schedule
+        self.diffusion_steps = diffusion_steps
+        self.dataset = dataset
+        self.resume_step = resume_step
+        self.checkpoint_dir = checkpoint_dir or ckpt.get_blob_logdir()
+        self.config = config or {}
+        self.mesh = mesh
+
+        ema_rates = tuple(
+            float(x)
+            for x in (
+                str(ema_rate).split(",") if ema_rate not in ("", None) else []
+            )
+        )
+        self.tx = make_optimizer(
+            lr, weight_decay=weight_decay, lr_anneal_steps=lr_anneal_steps
+        )
+        self.sampler = schedule_sampler or UniformSampler(
+            diffusion.num_timesteps
+        )
+        self.step_fn = make_train_step(
+            model,
+            diffusion,
+            self.tx,
+            contr=contr,
+            mode=mode,
+            sampler=self.sampler,
+        )
+        self.key = jax.random.PRNGKey(seed)
+        self.state: TrainState | None = None
+        self._ema_rates = ema_rates
+        if resume_checkpoint:
+            self._load(resume_checkpoint)
+
+    # ------------------------------------------------------------------
+    def _init_state(self, batch) -> TrainState:
+        import jax.numpy as jnp
+
+        from fast_cwdm_tpu.ops import wavelet as wv
+
+        key_init, self.key = jax.random.split(self.key)
+        if self.mode == "i2i":
+            x = batch[self.contr]
+            sample_in = jnp.concatenate(
+                [
+                    wv.dwt_normalized(jnp.asarray(x)),
+                    *[
+                        wv.dwt_normalized(jnp.asarray(batch[m]))
+                        for m in sorted(batch)
+                        if m != self.contr
+                    ],
+                ],
+                axis=-1,
+            )
+        else:
+            sample_in = wv.dwt_normalized(jnp.asarray(batch))
+        t0 = np.zeros((sample_in.shape[0],), np.int32)
+        variables = self.model.init(key_init, sample_in, t0)
+        params = variables["params"]
+        n_params = sum(p.size for p in jax.tree.leaves(params))
+        logger.log(f"creating model: {n_params/1e6:.2f}M params")
+        sampler_state = (
+            self.sampler.init_state()
+            if hasattr(self.sampler, "init_state")
+            else ()
+        )
+        return TrainState.create(
+            params,
+            self.tx,
+            ema_rates=self._ema_rates,
+            sampler_state=sampler_state,
+        )
+
+    def _load(self, path: str) -> None:
+        if not os.path.exists(path):
+            logger.log(f"resume checkpoint {path} not found; fresh start")
+            return
+        self._pending_resume = path
+        if not self.resume_step:
+            self.resume_step = ckpt.parse_resume_step_from_filename(path)
+
+    def _apply_resume(self) -> None:
+        path = getattr(self, "_pending_resume", None)
+        if not path:
+            return
+        template = {"state": self.state, "step": 0}
+        loaded = ckpt.load_checkpoint(path, template)
+        self.state = loaded["state"]
+        logger.log(f"resumed from {path} at step {loaded['step']}")
+        self._pending_resume = None
+
+    # ------------------------------------------------------------------
+    def _put(self, batch):
+        """Host batch → device (sharded over the mesh if present)."""
+        if self.mesh is not None:
+            return pmesh.shard_batch(self.mesh, batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    def run_loop(self) -> TrainState:
+        data_iter = _infinite(self.data_factory)
+        t_data = t_step = t_log = t_save = 0.0
+        last_metrics = None
+        step = self.resume_step
+        window_losses: list[float] = []
+
+        while not self.lr_anneal_steps or step < self.lr_anneal_steps:
+            t0 = time.time()
+            batch = next(data_iter)
+            batch = self._put(batch)
+            if self.state is None:
+                self.state = self._init_state(batch)
+                self._apply_resume()
+            t1 = time.time()
+            t_data += t1 - t0
+
+            self.key, sub = jax.random.split(self.key)
+            self.state, metrics = self.step_fn(self.state, batch, sub)
+            last_metrics = metrics
+            t2 = time.time()
+            t_step += t2 - t1
+
+            step += 1
+
+            if step % self.log_interval == 0:
+                m = jax.device_get(last_metrics)
+                loss = float(m["loss"])
+                window_losses.append(loss)
+                if not np.isfinite(loss):
+                    logger.log(f"Encountered non-finite loss {loss}")
+                logger.logkv("step", step)
+                logger.logkv("loss", loss)
+                logger.logkv("norm/grad_max", float(m["grad_max"]))
+                logger.logkv("norm/param_max", float(m["param_max"]))
+                for i, name in enumerate(SUBBAND_NAMES):
+                    logger.logkv(f"loss/mse_wav_{name}", float(m["mse_wav"][i]))
+                logger.dumpkvs()
+                t3 = time.time()
+                t_log += t3 - t2
+                total = t_data + t_step + t_log + t_save
+                print(
+                    f"[PROFILE] Step {step}: Data={t_data:.2f}s "
+                    f"Step={t_step:.2f}s Log={t_log:.2f}s Save={t_save:.2f}s "
+                    f"Total={total:.2f}s"
+                )
+                t_data = t_step = t_log = t_save = 0.0
+
+            if step % self.save_interval == 0:
+                t3 = time.time()
+                m = jax.device_get(last_metrics)
+                loss = float(m["loss"])
+                self.save_if_best(loss, step)
+                t_save += time.time() - t3
+                if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
+                    logger.log("DIFFUSION_TRAINING_TEST: early exit")
+                    return self.state
+
+        return self.state
+
+    # ------------------------------------------------------------------
+    def save_if_best(self, loss: float, step: int) -> bool:
+        """(`train_util.py:315-362`)"""
+        payload = {
+            "state": self.state,
+            "step": step,
+        }
+        saved = ckpt.save_if_best(
+            self.checkpoint_dir,
+            self.contr,
+            loss,
+            payload,
+            None,
+            sample_schedule=self.sample_schedule,
+            diffusion_steps=self.diffusion_steps,
+            dataset=self.dataset,
+            config={
+                **self.config,
+                "sample_schedule": self.sample_schedule,
+                "diffusion_steps": self.diffusion_steps,
+                "contr": self.contr,
+                "step": step,
+                "loss": loss,
+            },
+        )
+        if saved:
+            logger.log(
+                f"saved new best for {self.contr} at step {step} "
+                f"(loss {loss:.6f})"
+            )
+        return saved
+
+    def save(self, step: int) -> None:
+        """Legacy step-stamped save (`train_util.py:476-514`)."""
+        name = ckpt.step_checkpoint_name(
+            self.contr,
+            step,
+            self.sample_schedule,
+            self.diffusion_steps,
+            self.dataset,
+        )
+        ckpt.save_checkpoint(
+            os.path.join(self.checkpoint_dir, name),
+            {"state": self.state, "step": step},
+            config=self.config,
+        )

@@ -1,0 +1,60 @@
+"""Training state pytree.
+
+Everything the train step mutates lives in one `flax.struct` pytree so the
+whole step is a single donated `jit` — no host round-trips per step (the
+reference syncs `.item()` scalars and max-norms to host every step,
+`train_util.py:371-375`, a known pipeline bubble).
+
+EMA is implemented properly (one shadow pytree per rate); the reference
+parses ``ema_rate`` but never creates or updates EMA parameters
+(`train_util.py:75-79`, `nn.py:55` has zero call sites) — a documented
+intentional deviation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array  # int32 scalar, device-resident
+    params: Any
+    opt_state: optax.OptState
+    ema_params: Tuple[Any, ...] = ()
+    ema_rates: Tuple[float, ...] = struct.field(pytree_node=False, default=())
+    sampler_state: Any = ()
+
+    @classmethod
+    def create(
+        cls,
+        params,
+        tx: optax.GradientTransformation,
+        *,
+        ema_rates: Tuple[float, ...] = (),
+        sampler_state: Any = (),
+    ) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            ema_params=tuple(params for _ in ema_rates),
+            ema_rates=tuple(float(r) for r in ema_rates),
+            sampler_state=sampler_state,
+        )
+
+
+def update_ema(state: TrainState, new_params) -> Tuple[Any, ...]:
+    """EMA shadow update: ``ema = rate·ema + (1-rate)·params``
+    (the semantics of the reference's unused `update_ema`, `nn.py:55-65`)."""
+    return tuple(
+        jax.tree.map(
+            lambda e, p: e * rate + p * (1.0 - rate), ema, new_params
+        )
+        for rate, ema in zip(state.ema_rates, state.ema_params)
+    )

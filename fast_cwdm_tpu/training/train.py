@@ -1,0 +1,169 @@
+"""Jitted train step (parity surface for `TrainLoop.forward_backward` /
+`run_step`, `/root/reference/guided_diffusion/train_util.py:364-470`).
+
+TPU-first design:
+
+* ONE donated-`jit` program per optimizer step: t-sampling, image-space
+  noise, DWT of 4 modalities, U-Net fwd+bwd, AdamW update, EMA shadows, and
+  all metrics — nothing syncs to host (the reference does ≥8 D2H scalar
+  syncs per step for logging/max-norms, SURVEY §3.1);
+* linear LR anneal folded into the optax schedule
+  (`_anneal_lr`, `train_util.py:464-470`);
+* gradient averaging across the ``data`` mesh axis is XLA's automatic psum —
+  the step is sharding-agnostic;
+* metrics returned as a small device dict; the loop flushes them
+  asynchronously.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fast_cwdm_tpu.diffusion.gaussian import GaussianDiffusion
+from fast_cwdm_tpu.diffusion.resample import (
+    LossSecondMomentResampler,
+    UniformSampler,
+)
+from fast_cwdm_tpu.training.state import TrainState, update_ema
+
+
+def make_optimizer(
+    lr: float,
+    *,
+    weight_decay: float = 0.0,
+    lr_anneal_steps: int = 0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """AdamW with the reference's linear anneal
+    (`train_util.py:111,464-470`: ``lr·(1 - step/anneal_steps)``)."""
+    if lr_anneal_steps:
+        schedule = lambda step: lr * (  # noqa: E731
+            1.0 - jnp.minimum(step, lr_anneal_steps) / lr_anneal_steps
+        )
+    else:
+        schedule = lr
+    return optax.adamw(
+        schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay
+    )
+
+
+def _tree_max_abs(tree) -> jax.Array:
+    """max |leaf| over a pytree (`norm/param_max`, `norm/grad_max` metrics,
+    `train_util.py:371-375`) — computed on device."""
+    leaves = [jnp.max(jnp.abs(x)) for x in jax.tree.leaves(tree)]
+    return jnp.max(jnp.stack(leaves)) if leaves else jnp.zeros(())
+
+
+def make_train_step(
+    model,
+    diffusion: GaussianDiffusion,
+    tx: optax.GradientTransformation,
+    *,
+    contr: str = "t1n",
+    mode: str = "i2i",
+    sampler: Any = None,
+    compute_dtype=None,
+) -> Callable[[TrainState, Any, jax.Array], tuple[TrainState, dict]]:
+    """Build the donated-jit train step.
+
+    ``batch``: dict of image-space volumes ``(B, X, Y, Z, 1)`` keyed by
+    modality (i2i) or a single array. Returns ``(new_state, metrics)`` with
+    metrics = {loss, mse_wav(8,), grad_max, param_max, lr_step}.
+    """
+    sampler = sampler or UniformSampler(diffusion.num_timesteps)
+    loss_aware = isinstance(sampler, LossSecondMomentResampler)
+
+    def loss_fn(params, batch, t, key_noise, key_drop):
+        def model_fn(x, tt, **kw):
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
+            return model.apply(
+                {"params": params},
+                x,
+                tt,
+                train=True,
+                rngs={"dropout": key_drop},
+                **kw,
+            ).astype(jnp.float32)
+
+        terms, _, _ = diffusion.training_losses(
+            model_fn, batch, t, key_noise, contr=contr, mode=mode
+        )
+        # equal subband weights (`train_util.py:447-449`)
+        loss = terms["mse_wav"].mean()
+        return loss, terms
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def step(state: TrainState, batch, key: jax.Array):
+        key_t, key_noise, key_drop = jax.random.split(key, 3)
+        if mode == "i2i":
+            bsz = batch[contr].shape[0] if isinstance(batch, dict) else batch.shape[0]
+        else:
+            bsz = batch.shape[0]
+        if loss_aware:
+            t, _w = sampler.sample(key_t, bsz, state.sampler_state)
+        else:
+            t, _w = sampler.sample(key_t, bsz)
+
+        (loss, terms), grads = grad_fn(
+            state.params, batch, t, key_noise, key_drop
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+        )
+        new_state = new_state.replace(ema_params=update_ema(new_state, params))
+        if loss_aware:
+            new_state = new_state.replace(
+                sampler_state=sampler.update(
+                    state.sampler_state, t, terms["loss_per_sample"]
+                )
+            )
+        metrics = {
+            "loss": loss,
+            "mse_wav": terms["mse_wav"],
+            "grad_max": _tree_max_abs(grads),
+            "param_max": _tree_max_abs(params),
+            "t_mean": t.astype(jnp.float32).mean(),
+        }
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_sample_fn(
+    model,
+    diffusion: GaussianDiffusion,
+    *,
+    params_source: str = "params",
+):
+    """Jitted conditional sampler for in-training validation: one `lax.scan`
+    over the full reverse chain (SURVEY §3.2's fusion target)."""
+
+    @jax.jit
+    def sample(state: TrainState, cond: jax.Array, key: jax.Array):
+        params = (
+            state.ema_params[0]
+            if params_source == "ema" and state.ema_params
+            else state.params
+        )
+
+        def model_fn(x, t):
+            return model.apply({"params": params}, x, t)
+
+        b = cond.shape[0]
+        shape = (b, *cond.shape[1:-1], diffusion.target_channels)
+        return diffusion.p_sample_loop(model_fn, shape, key, cond=cond)
+
+    return sample

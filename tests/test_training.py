@@ -1,0 +1,189 @@
+"""Training-layer tests (L4): train step, EMA, checkpoints, TrainLoop."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_cwdm_tpu.diffusion.gaussian import GaussianDiffusion
+from fast_cwdm_tpu.models import UNetModel
+from fast_cwdm_tpu.training import (
+    TrainLoop,
+    TrainState,
+    find_best_checkpoint,
+    load_best_losses,
+    load_checkpoint,
+    make_optimizer,
+    make_train_step,
+    parse_resume_step_from_filename,
+    save_checkpoint,
+    save_if_best,
+)
+
+MODALITIES = ("t1n", "t1c", "t2w", "t2f")
+
+
+def tiny_model():
+    return UNetModel(
+        image_size=8,
+        in_channels=32,
+        model_channels=16,
+        out_channels=8,
+        num_res_blocks=1,
+        attention_resolutions=(),
+        channel_mult=(1, 2),
+        dims=3,
+        num_groups=8,
+        resblock_updown=True,
+        bottleneck_attention=False,
+        resample_2d=False,
+    )
+
+
+def make_batch(key, b=2, s=8):
+    ks = jax.random.split(key, 4)
+    return {
+        m: jax.random.uniform(k, (b, s, s, s, 1))
+        for m, k in zip(MODALITIES, ks)
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = tiny_model()
+    diffusion = GaussianDiffusion.named(
+        "linear", 10, "sampled", mode="i2i"
+    )
+    batch = make_batch(jax.random.PRNGKey(0))
+    from fast_cwdm_tpu.ops import wavelet as wv
+
+    x = jnp.concatenate(
+        [wv.dwt_normalized(batch[m]) for m in MODALITIES], axis=-1
+    )
+    params = model.init(
+        jax.random.PRNGKey(1), x, jnp.zeros((2,), jnp.int32)
+    )["params"]
+    return model, diffusion, batch, params
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_overfit(self, setup):
+        model, diffusion, batch, params = setup
+        tx = make_optimizer(1e-3)
+        state = TrainState.create(params, tx, ema_rates=(0.9,))
+        step = make_train_step(model, diffusion, tx, contr="t1n", mode="i2i")
+        key = jax.random.PRNGKey(42)
+        first = None
+        for i in range(30):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+            if first is None:
+                first = float(metrics["loss"])
+        last = float(metrics["loss"])
+        assert int(state.step) == 30
+        assert np.isfinite(last)
+        assert last < first, (first, last)
+        assert metrics["mse_wav"].shape == (8,)
+        assert float(metrics["grad_max"]) > 0
+
+    def test_ema_tracks_params(self, setup):
+        model, diffusion, batch, params = setup
+        tx = make_optimizer(1e-3)
+        state = TrainState.create(params, tx, ema_rates=(0.5,))
+        step = make_train_step(model, diffusion, tx, contr="t1c", mode="i2i")
+        state2, _ = step(state, batch, jax.random.PRNGKey(0))
+        # ema = 0.5*old + 0.5*new — strictly between old and new params
+        p_old = jax.tree.leaves(params)[0]
+        p_new = jax.tree.leaves(state2.params)[0]
+        p_ema = jax.tree.leaves(state2.ema_params[0])[0]
+        np.testing.assert_allclose(
+            np.asarray(p_ema),
+            0.5 * np.asarray(p_old) + 0.5 * np.asarray(p_new),
+            atol=1e-6,
+        )
+
+    def test_lr_anneal_reaches_zero(self):
+        tx = make_optimizer(1.0, lr_anneal_steps=10)
+        params = {"w": jnp.ones((4,))}
+        opt_state = tx.init(params)
+        grads = {"w": jnp.ones((4,))}
+        # advance the schedule past the end: the 11th update sees
+        # count=10 → lr·(1 - 10/10) = 0
+        for _ in range(11):
+            updates, opt_state = tx.update(grads, opt_state, params)
+        assert float(jnp.abs(updates["w"]).max()) < 1e-6
+
+
+class TestCheckpoints:
+    def test_save_if_best_ledger(self, tmp_path, setup):
+        _, _, _, params = setup
+        d = str(tmp_path)
+        payload = {"params": params}
+        assert save_if_best(
+            d, "t1n", 0.5, payload, None,
+            sample_schedule="sampled", diffusion_steps=10,
+        )
+        # worse loss → not saved
+        assert not save_if_best(
+            d, "t1n", 0.7, payload, None,
+            sample_schedule="sampled", diffusion_steps=10,
+        )
+        # better loss → saved, old file replaced
+        assert save_if_best(
+            d, "t1n", 0.3, payload, None,
+            sample_schedule="sampled", diffusion_steps=10,
+        )
+        assert load_best_losses(d) == {"t1n": 0.3}
+        found = find_best_checkpoint(d, "t1n")
+        assert found is not None
+        path, schedule, steps = found
+        assert schedule == "sampled" and steps == 10
+        loaded = load_checkpoint(path, {"params": params})
+        chex_leaf = jax.tree.leaves(loaded["params"])[0]
+        np.testing.assert_array_equal(
+            np.asarray(chex_leaf), np.asarray(jax.tree.leaves(params)[0])
+        )
+
+    def test_roundtrip_preserves_tree(self, tmp_path, setup):
+        _, _, _, params = setup
+        p = str(tmp_path / "x.ckpt")
+        save_checkpoint(p, {"params": params}, config={"a": 1})
+        out = load_checkpoint(p, {"params": params})
+        for a, b in zip(jax.tree.leaves(out), jax.tree.leaves({"params": params})):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_parse_resume_step(self):
+        assert parse_resume_step_from_filename("brats_t1n_004200_direct_1000.ckpt") == 1000
+        assert parse_resume_step_from_filename("opt012345.pt") == 12345
+
+
+class TestTrainLoop:
+    def test_smoke_with_test_hook(self, tmp_path, setup, monkeypatch):
+        model, diffusion, batch, _ = setup
+        monkeypatch.setenv("DIFFUSION_TRAINING_TEST", "1")
+        host_batch = jax.tree.map(np.asarray, batch)
+
+        def data():
+            while True:
+                yield host_batch
+
+        loop = TrainLoop(
+            model=model,
+            diffusion=diffusion,
+            data=data,
+            batch_size=2,
+            lr=1e-4,
+            ema_rate="0.99",
+            log_interval=2,
+            save_interval=2,
+            mode="i2i",
+            contr="t1n",
+            sample_schedule="sampled",
+            diffusion_steps=10,
+            checkpoint_dir=str(tmp_path),
+        )
+        state = loop.run_loop()
+        assert int(state.step) == 2
+        assert find_best_checkpoint(str(tmp_path), "t1n") is not None
