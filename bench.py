@@ -1,0 +1,152 @@
+"""Headline benchmark: conditional cWDM sampling throughput on one chip.
+
+Measures the north-star config (BASELINE.json): 100-step t1c synthesis at
+the production wavelet latent (8×112×112×80, 24-channel condition) with the
+production U-Net (64ch, mult (1,2,2,4,4), ~81.5M params).
+
+Two execution modes on the SAME chip:
+
+* ``fused``  — the framework's `p_sample_loop`: the entire 100-step reverse
+  chain (UNet + per-step IDWT→clamp→DWT x0 projection) is ONE `lax.scan`
+  XLA program.
+* ``refstyle`` (the baseline) — the reference's execution shape: a Python
+  loop dispatching one jitted `p_sample` per step with a host sync each
+  iteration (`gaussian_diffusion.py:668-719` iterates in Python under
+  torch eager).
+
+Prints ONE JSON line:
+  {"metric": "volumes_per_hour_100step_t1c", "value": ..., "unit":
+   "vol/h/chip", "vs_baseline": fused_over_refstyle_speedup, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(steps: int, dtype):
+    from fast_cwdm_tpu.diffusion.gaussian import GaussianDiffusion
+    from fast_cwdm_tpu.models import UNetModel
+
+    model = UNetModel(
+        image_size=112,
+        in_channels=32,
+        model_channels=64,
+        out_channels=8,
+        num_res_blocks=2,
+        attention_resolutions=(),
+        channel_mult=(1, 2, 2, 4, 4),
+        dims=3,
+        num_groups=32,
+        resblock_updown=True,
+        bottleneck_attention=False,
+        resample_2d=False,
+        dtype=dtype,
+    )
+    diffusion = GaussianDiffusion.named(
+        "linear", steps, "sampled", mode="i2i"
+    )
+    return model, diffusion
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--spatial", type=int, nargs=3, default=(112, 112, 80))
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model, diffusion = build(args.steps, dtype)
+
+    b = args.batch
+    sx, sy, sz = args.spatial
+    lat = (b, sx, sy, sz, 8)
+    key = jax.random.PRNGKey(0)
+    k_init, k_cond, k_noise, k_loop = jax.random.split(key, 4)
+    cond = jax.random.normal(k_cond, (b, sx, sy, sz, 24), jnp.float32)
+    noise = jax.random.normal(k_noise, lat, jnp.float32)
+    params = model.init(
+        k_init, jnp.zeros((b, 16, 16, 16, 32)), jnp.zeros((b,), jnp.int32)
+    )["params"]
+
+    def model_fn(x, t):
+        return model.apply({"params": params}, x, t)
+
+    # ---------------- fused: whole chain = one lax.scan program ----------
+    @jax.jit
+    def sample_fused(noise, cond, key):
+        return diffusion.p_sample_loop(
+            model_fn, lat, key, cond=cond, noise=noise
+        )
+
+    out = sample_fused(noise, cond, k_loop)
+    out.block_until_ready()  # compile
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        out = sample_fused(noise, cond, jax.random.fold_in(k_loop, i))
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    fused_s = min(times)
+    vol_per_hour = 3600.0 / fused_s * b
+
+    # ---------------- refstyle baseline: per-step dispatch ---------------
+    vs_baseline = None
+    refstyle_s = None
+    if not args.skip_baseline:
+        @jax.jit
+        def one_step(x, t, k, cond):
+            return diffusion.p_sample(model_fn, x, t, k, cond=cond)["sample"]
+
+        def sample_refstyle(noise, cond, key):
+            x = noise
+            for i in range(diffusion.num_timesteps - 1, -1, -1):
+                key, sub = jax.random.split(key)
+                t = jnp.full((b,), i, jnp.int32)
+                x = one_step(x, t, sub, cond)
+                np.asarray(x[0, 0, 0, 0, 0])  # per-step host sync (ref-style)
+            return x
+
+        x = sample_refstyle(noise, cond, k_loop)  # compile
+        t0 = time.perf_counter()
+        x = sample_refstyle(noise, cond, jax.random.fold_in(k_loop, 99))
+        np.asarray(x)
+        refstyle_s = time.perf_counter() - t0
+        vs_baseline = refstyle_s / fused_s
+
+    result = {
+        "metric": "volumes_per_hour_100step_t1c",
+        "value": round(vol_per_hour, 3),
+        "unit": "vol/h/chip",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "detail": {
+            "steps": args.steps,
+            "latent": list(lat),
+            "dtype": args.dtype,
+            "fused_s_per_volume": round(fused_s / b, 3),
+            "refstyle_s_per_volume": (
+                round(refstyle_s / b, 3) if refstyle_s else None
+            ),
+            "device": str(jax.devices()[0]),
+            "baseline_mode": "reference-style per-step dispatch, same chip",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""BraTS / LIDC host-side datasets (parity surface for
+`/root/reference/guided_diffusion/bratsloader.py` and `lidcloader.py`).
+
+Preprocessing matches the reference exactly (`bratsloader.py:40-109`):
+quantile clip (0.001/0.999) → min-max to [0,1] → zero-pad Z 155→160 → crop
+X,Y 240→224 (``[8:-8, 8:-8]``). Output layout is channels-last
+``(224, 224, 160, 1)`` (the reference emits ``(1, 224, 224, 160)``).
+
+Missing-modality detection returns ``missing`` + a zero placeholder
+(`bratsloader.py:51-53`); modes train/eval/auto change ``subj`` bookkeeping
+(`bratsloader.py:85-91`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+from fast_cwdm_tpu.data import nifti
+
+SEQTYPES = ("t1n", "t1c", "t2w", "t2f", "seg")
+MODALITIES = ("t1n", "t1c", "t2w", "t2f")
+
+RAW_SHAPE = (240, 240, 155)
+PADDED_Z = 160
+CROP = 8  # 240 → 224 on X and Y
+
+
+def clip_and_normalize(img: np.ndarray) -> np.ndarray:
+    """(`bratsloader.py:105-109`)"""
+    img_clipped = np.clip(
+        img, np.quantile(img, 0.001), np.quantile(img, 0.999)
+    )
+    lo, hi = np.min(img_clipped), np.max(img_clipped)
+    return (img_clipped - lo) / (hi - lo)
+
+
+def preprocess_volume(vol: np.ndarray) -> np.ndarray:
+    """clip/normalize → pad Z to 160 → crop X,Y to 224 → (X,Y,Z,1) f32."""
+    vol = clip_and_normalize(vol)
+    out = np.zeros((vol.shape[0], vol.shape[1], PADDED_Z), dtype=np.float32)
+    out[:, :, : vol.shape[2]] = vol
+    out = out[CROP:-CROP, CROP:-CROP, :]
+    return out[..., None]
+
+
+def unprocess_volume(
+    vol: np.ndarray, raw_shape=RAW_SHAPE
+) -> np.ndarray:
+    """Invert pad/crop: (224,224,160[,1]) → (240,240,155) with zeros in the
+    cropped border (`complete_dataset.py:321-367`'s un-crop)."""
+    vol = np.asarray(vol)
+    if vol.ndim == 4:
+        vol = vol[..., 0]
+    out = np.zeros(raw_shape, dtype=vol.dtype)
+    out[CROP:-CROP, CROP:-CROP, :] = vol[:, :, : raw_shape[2]]
+    return out
+
+
+def parse_seqtype(filename: str) -> str | None:
+    """Filename → modality: ``BraTS-GLI-00000-000-t1n.nii.gz`` → ``t1n``
+    (`bratsloader.py:36`)."""
+    parts = filename.split("-")
+    if len(parts) < 5:
+        return None
+    seq = parts[4].split(".")[0]
+    return seq if seq in SEQTYPES else None
+
+
+class BRATSVolumes:
+    """Leaf-directory dataset (`bratsloader.py:9-102`)."""
+
+    def __init__(self, directory: str, mode: str = "train", gen_type=None):
+        self.mode = mode
+        self.directory = os.path.expanduser(directory)
+        self.gentype = gen_type
+        self.database: list[dict[str, str]] = []
+        for root, dirs, files in sorted(os.walk(self.directory)):
+            if not dirs:
+                datapoint = {}
+                for f in sorted(files):
+                    seqtype = parse_seqtype(f)
+                    if seqtype:
+                        datapoint[seqtype] = os.path.join(root, f)
+                if datapoint:
+                    self.database.append(datapoint)
+
+    def __len__(self) -> int:
+        return len(self.database)
+
+    def __getitem__(self, idx: int) -> dict:
+        filedict = self.database[idx]
+        missing = "none"
+        out: dict = {}
+        for m in MODALITIES:
+            if m in filedict:
+                vol = nifti.load(filedict[m]).get_fdata()
+                out[m] = preprocess_volume(vol)
+            else:
+                missing = m
+                out[m] = np.zeros((1,), dtype=np.float32)
+        if self.mode in ("eval", "auto"):
+            subj = filedict.get("t1n", filedict.get("t2f", "dummy_string"))
+        else:
+            subj = "dummy_string"
+        out["missing"] = missing
+        out["subj"] = subj
+        out["filedict"] = filedict
+        return out
+
+
+class LIDCVolumes:
+    """LIDC 256³ CT volumes, optional 2× average-pool to 128³
+    (`lidcloader.py:9-54`); unconditional path."""
+
+    def __init__(self, directory: str, mode: str = "train", half_res: bool = True):
+        self.mode = mode
+        self.half_res = half_res
+        self.directory = os.path.expanduser(directory)
+        self.database: list[str] = []
+        for root, dirs, files in sorted(os.walk(self.directory)):
+            if not dirs:
+                for f in sorted(files):
+                    if f.endswith((".nii", ".nii.gz")):
+                        self.database.append(os.path.join(root, f))
+
+    def __len__(self) -> int:
+        return len(self.database)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        vol = nifti.load(self.database[idx]).get_fdata()
+        vol = clip_and_normalize(vol).astype(np.float32)
+        if self.half_res:
+            s = vol.shape
+            vol = vol.reshape(
+                s[0] // 2, 2, s[1] // 2, 2, s[2] // 2, 2
+            ).mean(axis=(1, 3, 5))
+        return vol[..., None]
+
+
+def iterate_batches(
+    dataset,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_last: bool = True,
+    keys=MODALITIES,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Collate dict items into stacked numpy batches (modality keys only)."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    batch: list[dict] = []
+    for i in order:
+        item = dataset[int(i)]
+        batch.append(item)
+        if len(batch) == batch_size:
+            yield {
+                k: np.stack([b[k] for b in batch]) for k in keys
+            }
+            batch = []
+    if batch and not drop_last:
+        yield {k: np.stack([b[k] for b in batch]) for k in keys}

@@ -1,0 +1,99 @@
+"""Prefetching host→device pipeline.
+
+The reference feeds the GPU with torch DataLoader worker processes
+(num_workers=12, `train.py:66-69`); here the equivalent is a thread pool
+decompressing/normalizing NIfTIs plus a double-buffered `jax.device_put`
+prefetcher (the north-star requirement in BASELINE.json), so the TPU never
+waits on gzip inflation.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator
+
+import jax
+import numpy as np
+
+
+class ThreadedLoader:
+    """Background-thread item loader: overlaps dataset __getitem__ (disk +
+    gunzip + normalize) with device compute."""
+
+    def __init__(self, dataset, *, num_workers: int = 4, max_prefetch: int = 8):
+        self.dataset = dataset
+        self.num_workers = max(1, num_workers)
+        self.max_prefetch = max_prefetch
+
+    def __iter__(self) -> Iterator:
+        idx_q: queue.Queue = queue.Queue()
+        out_q: queue.Queue = queue.Queue(maxsize=self.max_prefetch)
+        n = len(self.dataset)
+        for i in range(n):
+            idx_q.put(i)
+        results: dict[int, object] = {}
+        lock = threading.Lock()
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    i = idx_q.get_nowait()
+                except queue.Empty:
+                    return
+                item = self.dataset[i]
+                out_q.put((i, item))
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            next_idx = 0
+            received = 0
+            while received < n:
+                i, item = out_q.get()
+                received += 1
+                with lock:
+                    results[i] = item
+                while next_idx in results:
+                    yield results.pop(next_idx)
+                    next_idx += 1
+        finally:
+            stop.set()
+
+
+def prefetch_to_device(
+    iterator: Iterable,
+    *,
+    size: int = 2,
+    sharding=None,
+) -> Iterator:
+    """Double-buffered H2D: keep ``size`` batches already on device while
+    the current one computes."""
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree.map(
+                lambda x: jax.device_put(np.asarray(x), sharding), batch
+            )
+        return jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x)), batch
+        )
+
+    buf: list = []
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    for batch in it:
+        nxt = put(batch)
+        yield buf.pop(0)
+        buf.append(nxt)
+    while buf:
+        yield buf.pop(0)

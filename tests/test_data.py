@@ -1,0 +1,153 @@
+"""Data-layer tests (L0): NIfTI IO, BraTS dataset semantics, prefetcher."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from fast_cwdm_tpu.data import (
+    BRATSVolumes,
+    Nifti1Image,
+    ThreadedLoader,
+    clip_and_normalize,
+    iterate_batches,
+    load,
+    parse_seqtype,
+    prefetch_to_device,
+    preprocess_volume,
+    save,
+    unprocess_volume,
+)
+
+
+class TestNifti:
+    @pytest.mark.parametrize("ext", [".nii", ".nii.gz"])
+    def test_roundtrip(self, tmp_path, ext):
+        rng = np.random.default_rng(0)
+        data = rng.random((7, 5, 3)).astype(np.float32)
+        affine = np.array(
+            [[-1, 0, 0, 100], [0, 2, 0, -50], [0, 0, 1.5, 7], [0, 0, 0, 1]],
+            dtype=np.float64,
+        )
+        p = str(tmp_path / f"x{ext}")
+        save(Nifti1Image(data, affine), p)
+        img = load(p)
+        np.testing.assert_allclose(img.get_fdata(), data, rtol=1e-6)
+        np.testing.assert_allclose(img.affine, affine, atol=1e-5)
+
+    def test_fortran_order_layout(self, tmp_path):
+        """NIfTI data is Fortran-ordered on disk; the first axis must vary
+        fastest."""
+        data = np.arange(24, dtype=np.float32).reshape(4, 3, 2)
+        p = str(tmp_path / "f.nii")
+        save(Nifti1Image(data, np.eye(4)), p)
+        raw = open(p, "rb").read()
+        voxels = np.frombuffer(raw[352:], dtype="<f4")
+        np.testing.assert_array_equal(
+            voxels[:4], data[:, 0, 0].astype(np.float32)
+        )
+
+    def test_int16_dtype(self, tmp_path):
+        data = np.arange(-5, 7, dtype=np.int16).reshape(3, 4)
+        p = str(tmp_path / "i.nii.gz")
+        save(Nifti1Image(data, np.eye(4)), p)
+        img = load(p)
+        assert img.dataobj.dtype == np.int16
+        np.testing.assert_array_equal(img.get_fdata(), data.astype(np.float64))
+
+    def test_rejects_garbage(self, tmp_path):
+        p = str(tmp_path / "bad.nii")
+        with open(p, "wb") as f:
+            f.write(b"\x00" * 400)
+        with pytest.raises(ValueError):
+            load(p)
+
+
+def _make_case(case_dir, modalities, shape=(24, 24, 15)):
+    os.makedirs(case_dir, exist_ok=True)
+    rng = np.random.default_rng(hash(case_dir) % 2**32)
+    base = os.path.basename(case_dir)
+    for m in modalities:
+        vol = (rng.random(shape) * 1000).astype(np.float32)
+        save(
+            Nifti1Image(vol, np.eye(4)),
+            os.path.join(case_dir, f"BraTS-GLI-{base}-000-{m}.nii.gz"),
+        )
+
+
+class TestBrats:
+    def test_parse_seqtype(self):
+        assert parse_seqtype("BraTS-GLI-00000-000-t1n.nii.gz") == "t1n"
+        assert parse_seqtype("BraTS-GLI-00000-000-seg.nii.gz") == "seg"
+        assert parse_seqtype("random.nii.gz") is None
+
+    def test_clip_and_normalize_range(self):
+        rng = np.random.default_rng(0)
+        img = rng.normal(50, 20, (32, 32, 8))
+        out = clip_and_normalize(img)
+        assert out.min() == 0.0 and out.max() == 1.0
+
+    def test_preprocess_unprocess_roundtrip(self):
+        rng = np.random.default_rng(1)
+        vol = rng.random((240, 240, 155))
+        pre = preprocess_volume(vol)
+        assert pre.shape == (224, 224, 160, 1)
+        # Z padding is zero
+        assert float(np.abs(pre[:, :, 155:, :]).max()) == 0.0
+        un = unprocess_volume(pre)
+        assert un.shape == (240, 240, 155)
+        np.testing.assert_allclose(
+            un[8:-8, 8:-8, :], pre[:, :, :155, 0], atol=0
+        )
+
+    def test_dataset_discovery_and_missing(self, tmp_path):
+        root = str(tmp_path / "data")
+        _make_case(os.path.join(root, "00001"), ["t1n", "t1c", "t2w", "t2f"])
+        _make_case(os.path.join(root, "00002"), ["t1n", "t2w", "t2f"])  # t1c missing
+        ds = BRATSVolumes(root, mode="train")
+        assert len(ds) == 2
+        full = ds[0]
+        assert full["missing"] == "none"
+        for m in ("t1n", "t1c", "t2w", "t2f"):
+            assert full[m].shape == (8, 8, 160, 1)  # 24-16 crop, 15→160 pad
+        part = ds[1]
+        assert part["missing"] == "t1c"
+        assert part["t1c"].shape == (1,)
+
+    def test_eval_mode_subj(self, tmp_path):
+        root = str(tmp_path / "data")
+        _make_case(os.path.join(root, "00001"), ["t1n", "t1c", "t2w", "t2f"])
+        ds = BRATSVolumes(root, mode="eval")
+        assert ds[0]["subj"].endswith("t1n.nii.gz")
+
+
+class TestLoader:
+    def test_threaded_loader_preserves_order(self):
+        class DS:
+            def __len__(self):
+                return 20
+
+            def __getitem__(self, i):
+                return i * 10
+
+        out = list(ThreadedLoader(DS(), num_workers=4))
+        assert out == [i * 10 for i in range(20)]
+
+    def test_iterate_batches(self, tmp_path):
+        root = str(tmp_path / "data")
+        for i in range(3):
+            _make_case(
+                os.path.join(root, f"0000{i}"), ["t1n", "t1c", "t2w", "t2f"]
+            )
+        ds = BRATSVolumes(root)
+        batches = list(iterate_batches(ds, 2, drop_last=False))
+        assert batches[0]["t1n"].shape == (2, 8, 8, 160, 1)
+        assert batches[1]["t1n"].shape == (1, 8, 8, 160, 1)
+
+    def test_prefetch_to_device(self):
+        batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(5)]
+        out = list(prefetch_to_device(iter(batches), size=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
