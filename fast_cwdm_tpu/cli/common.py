@@ -1,0 +1,127 @@
+"""Shared CLI plumbing: config → model/params/diffusion, conditioning,
+jitted synthesis (parity helpers used by sample / sample_auto /
+complete_dataset — the reference duplicates this logic per script,
+`complete_dataset.py:130-179` vs `run.sh:41-135`, a drift risk this module
+removes).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast_cwdm_tpu.diffusion.gaussian import condition_order
+from fast_cwdm_tpu.models import create_model_and_diffusion
+from fast_cwdm_tpu.ops import wavelet as wv
+from fast_cwdm_tpu.training import checkpoints as ckpt
+
+PRODUCTION_OVERRIDES = dict(
+    image_size=112,
+    num_channels=64,
+    num_res_blocks=2,
+    channel_mult="1,2,2,4,4",
+    attention_resolutions="",
+    in_channels=32,
+    out_channels=8,
+    dims=3,
+    num_groups=32,
+    bottleneck_attention=False,
+    resample_2d=False,
+    use_scale_shift_norm=False,
+    additive_skips=False,
+    mode="i2i",
+)
+
+
+def production_config(**overrides) -> dict:
+    """run.sh production flag bundle (`run.sh:41-135`) as a config dict."""
+    cfg = dict(PRODUCTION_OVERRIDES)
+    cfg.update(overrides)
+    return cfg
+
+
+def build_model_and_diffusion(cfg: dict):
+    return create_model_and_diffusion(**cfg)
+
+
+def init_params(model, key=None, batch: int = 1):
+    """Initialize params at a minimal valid latent (shapes don't affect
+    parameter shapes — conv nets are size-polymorphic)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    depth = max(
+        16, 2 ** (len(tuple(model.channel_mult)) - 1) * 2
+    )
+    x = jnp.zeros((batch, depth, depth, depth, model.in_channels))
+    t = jnp.zeros((batch,), jnp.int32)
+    return model.init(key, x, t)["params"]
+
+
+def load_params(path: str, model, *, use_ema: bool = False):
+    """Load sampling params from a framework ``.ckpt`` or reference-format
+    torch ``.pt``."""
+    if path.endswith(".pt"):
+        from fast_cwdm_tpu.training import bridge
+
+        return bridge.load_torch_unet(path, model)
+    template_params = init_params(model)
+    template = {
+        "params": template_params,
+        "ema_params": (),
+        "step": 0,
+    }
+    try:
+        loaded = ckpt.load_checkpoint(path, template)
+    except Exception:
+        # checkpoints saved with EMA shadows need a matching template
+        template["ema_params"] = (template_params,)
+        loaded = ckpt.load_checkpoint(path, template)
+    if use_ema and loaded.get("ema_params"):
+        return loaded["ema_params"][0]
+    return loaded["params"]
+
+
+def prepare_condition(
+    batch: dict[str, np.ndarray | jax.Array], contr: str, wavelet: str = "haar"
+) -> jax.Array:
+    """3 known modalities → 24-channel wavelet condition in the reference's
+    concat order (`scripts/sample.py:92-97`, order `gd.py:1102-1126`)."""
+    conds = [jnp.asarray(batch[m]) for m in condition_order(contr)]
+    return jnp.concatenate(
+        [wv.dwt_normalized(c, wavelet) for c in conds], axis=-1
+    )
+
+
+def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155):
+    """One jitted program: scan the full reverse chain, IDWT, clamp [0,1],
+    zero non-brain voxels via the first condition volume
+    (`scripts/sample.py:104-125`)."""
+
+    def model_fn(x, t):
+        return model.apply({"params": params}, x, t)
+
+    @jax.jit
+    def synth(cond: jax.Array, mask_vol: jax.Array, key: jax.Array):
+        b = cond.shape[0]
+        shape = (b, *cond.shape[1:-1], diffusion.target_channels)
+        sample = diffusion.p_sample_loop(model_fn, shape, key, cond=cond)
+        img = wv.idwt_normalized(sample, channels=1, wavelet=diffusion.wavelet)
+        img = jnp.clip(img, 0.0, 1.0)
+        img = jnp.where(mask_vol == 0, 0.0, img)
+        return img
+
+    def run(cond, mask_vol, key) -> np.ndarray:
+        img = synth(jnp.asarray(cond), jnp.asarray(mask_vol), key)
+        img = np.array(img)[..., 0]  # writable host copy, drop channel
+        return img[:, :, :, :crop_z]
+
+    return run
+
+
+def subject_id_from_path(path: str) -> str:
+    """`sample.py:62`-style subject id: the case directory name."""
+    d = os.path.dirname(path)
+    return os.path.basename(d) if d else os.path.basename(path)[:19]

@@ -1,0 +1,175 @@
+"""Dataset-completion CLI (parity surface for
+`/root/reference/scripts/complete_dataset.py`, the production BraSyn
+inference pipeline).
+
+Per case directory: detect the missing modality by filename scan
+(`complete_dataset.py:50-59`), load + preprocess the 3 available modalities
+with the training-identical pipeline (`:30-47`), discover the matching
+``BEST`` checkpoint (`:75-127` — there by filename parsing; here the config
+rides inside the checkpoint), run the fast sampled-schedule reverse chain,
+IDWT, clamp, brain-mask, un-crop to 240×240×155 with the source affine and
+header (`:284-367`), and copy the existing files through.
+
+Per-case try/except keeps batch inference going past bad cases
+(`complete_dataset.py:383-403`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import shutil
+import time
+
+import numpy as np
+
+MODALITIES = ("t1n", "t1c", "t2w", "t2f")
+
+
+def find_missing_modality(case_dir: str) -> str | None:
+    """(`complete_dataset.py:50-59`)"""
+    present = set()
+    for f in os.listdir(case_dir):
+        for m in MODALITIES:
+            if f"-{m}." in f:
+                present.add(m)
+    missing = [m for m in MODALITIES if m not in present]
+    return missing[0] if len(missing) == 1 else None
+
+
+def create_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--checkpoint_dir", default="checkpoints")
+    p.add_argument("--dataset", default="brats")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--threshold", type=float, default=0.0)
+    return p
+
+
+def main(argv=None) -> None:
+    import jax
+
+    from fast_cwdm_tpu.cli import common
+    from fast_cwdm_tpu.data import (
+        Nifti1Image,
+        nifti,
+        preprocess_volume,
+        save,
+        unprocess_volume,
+    )
+    from fast_cwdm_tpu.diffusion.gaussian import condition_order
+    from fast_cwdm_tpu.training.checkpoints import find_best_checkpoint
+
+    args = create_argparser().parse_args(argv)
+    key = jax.random.PRNGKey(args.seed)
+    synth_cache: dict[str, object] = {}
+
+    def get_synth(contr: str):
+        if contr not in synth_cache:
+            found = find_best_checkpoint(
+                args.checkpoint_dir, contr, args.dataset
+            )
+            if found is None:
+                raise FileNotFoundError(
+                    f"no BEST checkpoint for {contr} in {args.checkpoint_dir}"
+                )
+            path, schedule, steps = found
+            # config rides with the checkpoint (unlike the reference, which
+            # re-parses hyperparameters from the FILENAME,
+            # `complete_dataset.py:107-127`)
+            from fast_cwdm_tpu.models import model_and_diffusion_defaults
+            from fast_cwdm_tpu.training.checkpoints import (
+                load_checkpoint_config,
+            )
+
+            stored = load_checkpoint_config(path) or {}
+            cfg = common.production_config(
+                sample_schedule=schedule, diffusion_steps=steps
+            )
+            schema = set(model_and_diffusion_defaults())
+            cfg.update(
+                {k: v for k, v in stored.items() if k in schema}
+            )
+            cfg["mode"] = "i2i"
+            model, diffusion = common.build_model_and_diffusion(cfg)
+            params = common.load_params(path, model, use_ema=args.use_ema)
+            synth_cache[contr] = common.make_synthesis_fn(
+                model, params, diffusion
+            )
+            print(
+                f"[complete] {contr}: {os.path.basename(path)} "
+                f"({schedule}, {steps} steps)"
+            )
+        return synth_cache[contr]
+
+    pathlib.Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+    case_dirs = sorted(
+        d
+        for d in (
+            os.path.join(args.input_dir, n)
+            for n in os.listdir(args.input_dir)
+        )
+        if os.path.isdir(d)
+    )
+    print(f"[complete] {len(case_dirs)} cases")
+    ok = failed = 0
+
+    for case_dir in case_dirs:
+        case = os.path.basename(case_dir)
+        try:
+            t0 = time.time()
+            missing = find_missing_modality(case_dir)
+            out_case = os.path.join(args.output_dir, case)
+            pathlib.Path(out_case).mkdir(parents=True, exist_ok=True)
+            # copy existing files through (`complete_dataset.py:352-367`)
+            for f in os.listdir(case_dir):
+                shutil.copy2(
+                    os.path.join(case_dir, f), os.path.join(out_case, f)
+                )
+            if missing is None:
+                ok += 1
+                continue
+
+            avail: dict[str, np.ndarray] = {}
+            src_img = None
+            for f in sorted(os.listdir(case_dir)):
+                for m in MODALITIES:
+                    if f"-{m}." in f and m != missing:
+                        img = nifti.load(os.path.join(case_dir, f))
+                        avail[m] = preprocess_volume(img.get_fdata())[None]
+                        if src_img is None:
+                            src_img = img
+            synth = get_synth(missing)
+            cond = common.prepare_condition(avail, missing)
+            mask_vol = avail[condition_order(missing)[0]]
+            nonlocal_key = jax.random.fold_in(key, hash(case) & 0x7FFFFFFF)
+            sample = synth(cond, mask_vol, nonlocal_key)[0]
+            if args.threshold > 0:
+                sample[sample <= args.threshold] = 0.0
+            full = unprocess_volume(
+                sample[..., None], raw_shape=src_img.shape
+            )
+            out_name = os.path.join(out_case, f"{case}-{missing}.nii.gz")
+            save(
+                Nifti1Image(
+                    full.astype(np.float32), src_img.affine, src_img.header
+                ),
+                out_name,
+            )
+            print(
+                f"[complete] {case}: {missing} in {time.time()-t0:.1f}s"
+            )
+            ok += 1
+        except Exception as e:  # keep going (`complete_dataset.py:383-403`)
+            print(f"[complete] FAILED {case}: {e}")
+            failed += 1
+
+    print(f"[complete] done: {ok} ok, {failed} failed")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Training CLI (parity surface for `/root/reference/scripts/train.py`).
+
+Flag schema = reference script defaults (`train.py:99-140`) merged over
+`model_and_diffusion_defaults()`. Differences (documented):
+no wandb hard-coding (`train.py:32-37` pins project/entity — here wandb is
+optional via $WANDB_PROJECT), no manual device flags (mesh instead).
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+
+import numpy as np
+
+from fast_cwdm_tpu.models import (
+    add_dict_to_argparser,
+    args_to_dict,
+    model_and_diffusion_defaults,
+)
+
+
+def create_argparser() -> argparse.ArgumentParser:
+    defaults = dict(
+        seed=0,
+        data_dir="",
+        schedule_sampler="uniform",
+        lr=1e-4,
+        weight_decay=0.0,
+        lr_anneal_steps=0,
+        batch_size=1,
+        microbatch=-1,  # vestigial in the reference; kept for flag parity
+        ema_rate="0.9999",
+        log_interval=100,
+        save_interval=5000,
+        resume_checkpoint="",
+        resume_step=0,
+        use_fp16=False,
+        fp16_scale_growth=1e-3,
+        dataset="brats",
+        use_tensorboard=True,
+        tensorboard_path="",
+        num_workers=0,
+        mode="default",
+        renormalize=True,
+        contr="t1n",
+        checkpoint_dir="",
+        data_mesh=0,  # 0 = all devices on the data axis
+        spatial_mesh=1,
+    )
+    md = model_and_diffusion_defaults()
+    defaults.update({k: v for k, v in md.items() if k not in defaults})
+    # reference train.py overrides of the shared schema
+    defaults.update(
+        dims=3,
+        num_groups=32,
+        channel_mult="1,2,2,4,4",
+        in_channels=8,
+        out_channels=8,
+        bottleneck_attention=False,
+        sample_schedule="direct",
+    )
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults)
+    return parser
+
+
+def main(argv=None) -> None:
+    import jax
+
+    from fast_cwdm_tpu.data import BRATSVolumes, iterate_batches
+    from fast_cwdm_tpu.diffusion.resample import create_named_schedule_sampler
+    from fast_cwdm_tpu.models import create_model_and_diffusion
+    from fast_cwdm_tpu.parallel import make_mesh, setup_distributed
+    from fast_cwdm_tpu.training import TrainLoop
+    from fast_cwdm_tpu.utils import logger
+
+    args = create_argparser().parse_args(argv)
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    logger.configure()
+    logger.log("creating model and diffusion...")
+    setup_distributed()
+
+    cfg = args_to_dict(args, model_and_diffusion_defaults().keys())
+    if args.mode == "i2i":
+        cfg["in_channels"] = 32  # 8 target + 3×8 condition subbands
+    model, diffusion = create_model_and_diffusion(**cfg)
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = make_mesh(
+            data=args.data_mesh or -1, sp=args.spatial_mesh
+        )
+        logger.log(f"mesh: {dict(mesh.shape)}")
+
+    dataset = BRATSVolumes(args.data_dir, mode="train")
+    logger.log(f"dataset: {len(dataset)} cases from {args.data_dir}")
+
+    def data():
+        return iterate_batches(
+            dataset, args.batch_size, shuffle=True, seed=args.seed
+        )
+
+    sampler = create_named_schedule_sampler(
+        args.schedule_sampler, diffusion.num_timesteps
+    )
+
+    loop = TrainLoop(
+        model=model,
+        diffusion=diffusion,
+        data=data,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        ema_rate=args.ema_rate,
+        log_interval=args.log_interval,
+        save_interval=args.save_interval,
+        resume_checkpoint=args.resume_checkpoint,
+        resume_step=args.resume_step,
+        weight_decay=args.weight_decay,
+        lr_anneal_steps=args.lr_anneal_steps,
+        mode=args.mode,
+        contr=args.contr,
+        sample_schedule=args.sample_schedule,
+        diffusion_steps=args.diffusion_steps,
+        dataset=args.dataset,
+        schedule_sampler=sampler,
+        seed=args.seed,
+        mesh=mesh,
+        checkpoint_dir=args.checkpoint_dir or None,
+        config=cfg,
+    )
+    loop.run_loop()
+
+
+if __name__ == "__main__":
+    main()

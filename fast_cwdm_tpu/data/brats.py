@@ -46,14 +46,23 @@ def preprocess_volume(vol: np.ndarray) -> np.ndarray:
     return out[..., None]
 
 
-def unprocess_volume(
-    vol: np.ndarray, raw_shape=RAW_SHAPE
-) -> np.ndarray:
-    """Invert pad/crop: (224,224,160[,1]) → (240,240,155) with zeros in the
-    cropped border (`complete_dataset.py:321-367`'s un-crop)."""
+def unprocess_volume(vol: np.ndarray, raw_shape=None) -> np.ndarray:
+    """Invert pad/crop: (224,224,Z[,1]) → (240,240,155) with zeros in the
+    cropped border (`complete_dataset.py:321-367`'s un-crop).
+
+    ``raw_shape`` defaults to the BraTS geometry inferred from ``vol``
+    (X+16, Y+16, min(Z, 155)); pass the source NIfTI shape explicitly when
+    available.
+    """
     vol = np.asarray(vol)
     if vol.ndim == 4:
         vol = vol[..., 0]
+    if raw_shape is None:
+        raw_shape = (
+            vol.shape[0] + 2 * CROP,
+            vol.shape[1] + 2 * CROP,
+            min(vol.shape[2], RAW_SHAPE[2]),
+        )
     out = np.zeros(raw_shape, dtype=vol.dtype)
     out[CROP:-CROP, CROP:-CROP, :] = vol[:, :, : raw_shape[2]]
     return out
@@ -77,7 +86,7 @@ class BRATSVolumes:
         self.directory = os.path.expanduser(directory)
         self.gentype = gen_type
         self.database: list[dict[str, str]] = []
-        for root, dirs, files in sorted(os.walk(self.directory)):
+        for root, dirs, files in sorted(os.walk(self.directory, followlinks=True)):
             if not dirs:
                 datapoint = {}
                 for f in sorted(files):

@@ -243,11 +243,18 @@ class GaussianDiffusion:
 
     def _process_xstart(self, x, clip_denoised: bool, denoised_fn=None):
         """x0 projection: IDWT → clamp[0,1] → DWT with the ×3/÷3 LLL
-        convention (`gaussian_diffusion.py:335-354`). Fully jit-fusable."""
+        convention (`gaussian_diffusion.py:335-354`).
+
+        For Haar this uses the fused block-local form
+        (:func:`wv.haar_clamp_project`) — two 8×8 matmuls around a clamp
+        instead of two full spatial wavelet transforms per step.
+        """
         if denoised_fn is not None:
             x = denoised_fn(x)
         if not clip_denoised:
             return x
+        if self.wavelet in ("haar", "db1") and x.shape[-1] == 8:
+            return wv.haar_clamp_project(x)
         img = wv.idwt_normalized(x, channels=1, wavelet=self.wavelet)
         img = jnp.clip(img, 0.0, 1.0)
         return wv.dwt_normalized(img, wavelet=self.wavelet)

@@ -309,3 +309,58 @@ def dwt_normalized(x: jax.Array, wavelet: str = "haar") -> jax.Array:
 def idwt_normalized(y: jax.Array, channels: int = 1, wavelet: str = "haar") -> jax.Array:
     """IDWT of network-convention bands (3*LLL, `gaussian_diffusion.py:1155`)."""
     return idwt3_flat(scale_lll(y, LLL_SCALE, channels), channels, wavelet)
+
+
+# ---------------------------------------------------------------------------
+# Fused Haar projection (the sampling hot path)
+# ---------------------------------------------------------------------------
+#
+# The reference's per-step x0 projection does IDWT → clamp → DWT over the
+# full 224×224×160 image (`gaussian_diffusion.py:335-354`) — two complete
+# passes over HBM per denoising step. For Haar (filter length 2, stride 2)
+# the transform is BLOCK-ORTHOGONAL: each 2×2×2 image block is a linear
+# function of the 8 subband coefficients at one spatial position and nothing
+# else. The whole round-trip therefore collapses to
+#
+#     y = S⁻¹ · M · clamp( Mᵀ · S · x )        per voxel of the latent,
+#
+# with M the orthonormal 8×8 Haar mixing matrix and S = diag(3,1,…,1) the
+# LLL convention — two 8×8 matmuls fused around a clamp, no spatial data
+# movement, no 224³ intermediate. XLA fuses this into a single elementwise
+# kernel over the latent.
+
+
+@functools.lru_cache(maxsize=None)
+def _haar_mixing_matrix() -> np.ndarray:
+    """M[band, corner]: bands = M @ block for an orthonormal 2×2×2 Haar
+    block, with band index = 4·high(X)+2·high(Y)+high(Z) and corner index
+    = 4·odd(X)+2·odd(Y)+odd(Z)."""
+    m = np.zeros((8, 8), dtype=np.float64)
+    for band in range(8):
+        for corner in range(8):
+            sign = 1.0
+            for axis_bit in (4, 2, 1):
+                if band & axis_bit and corner & axis_bit:
+                    sign = -sign
+            m[band, corner] = sign / (2.0 * math.sqrt(2.0))
+    return m
+
+
+def haar_clamp_project(
+    x: jax.Array, lo: float = 0.0, hi: float = 1.0
+) -> jax.Array:
+    """Fused IDWT→clamp→DWT for Haar, network LLL convention.
+
+    ``x``: (..., 8) flat subbands (C=1). Exactly equals
+    ``dwt_normalized(clip(idwt_normalized(x)))`` but with zero spatial
+    traffic — the TPU-first replacement for `process_xstart`
+    (`gaussian_diffusion.py:335-354`).
+    """
+    m = jnp.asarray(_haar_mixing_matrix(), dtype=x.dtype)
+    s = jnp.asarray(
+        [LLL_SCALE, 1, 1, 1, 1, 1, 1, 1], dtype=x.dtype
+    )
+    block = jnp.einsum("...b,bc->...c", x * s, m, precision=_PRECISE)
+    block = jnp.clip(block, lo, hi)
+    bands = jnp.einsum("...c,bc->...b", block, m, precision=_PRECISE)
+    return bands / s

@@ -164,9 +164,23 @@ class TrainLoop:
         path = getattr(self, "_pending_resume", None)
         if not path:
             return
-        template = {"state": self.state, "step": 0}
+        template = {
+            "params": self.state.params,
+            "ema_params": self.state.ema_params,
+            "step": 0,
+        }
         loaded = ckpt.load_checkpoint(path, template)
-        self.state = loaded["state"]
+        self.state = self.state.replace(
+            params=loaded["params"], ema_params=loaded["ema_params"]
+        )
+        opt_path = os.path.join(
+            os.path.dirname(path), f"opt_best_{self.contr}.ckpt"
+        )
+        if os.path.exists(opt_path):
+            opt = ckpt.load_checkpoint(
+                opt_path, {"opt_state": self.state.opt_state}
+            )
+            self.state = self.state.replace(opt_state=opt["opt_state"])
         logger.log(f"resumed from {path} at step {loaded['step']}")
         self._pending_resume = None
 
@@ -241,7 +255,8 @@ class TrainLoop:
     def save_if_best(self, loss: float, step: int) -> bool:
         """(`train_util.py:315-362`)"""
         payload = {
-            "state": self.state,
+            "params": self.state.params,
+            "ema_params": self.state.ema_params,
             "step": step,
         }
         saved = ckpt.save_if_best(
@@ -249,7 +264,7 @@ class TrainLoop:
             self.contr,
             loss,
             payload,
-            None,
+            {"opt_state": self.state.opt_state},
             sample_schedule=self.sample_schedule,
             diffusion_steps=self.diffusion_steps,
             dataset=self.dataset,
@@ -280,6 +295,10 @@ class TrainLoop:
         )
         ckpt.save_checkpoint(
             os.path.join(self.checkpoint_dir, name),
-            {"state": self.state, "step": step},
+            {
+                "params": self.state.params,
+                "ema_params": self.state.ema_params,
+                "step": step,
+            },
             config=self.config,
         )

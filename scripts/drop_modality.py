@@ -1,0 +1,8 @@
+#!/usr/bin/env python
+"""Thin wrapper: see fast_cwdm_tpu.cli.drop_modality (reference: scripts/drop_modality.py)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from fast_cwdm_tpu.cli.drop_modality import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""End-to-end CLI pipeline test (L5) on a tiny synthetic BraTS tree:
+
+train → checkpoint → sample → drop_modality → sample_auto →
+prepare_nnunet_dataset → evaluate_synthesis(direct).
+
+This is the framework's equivalent of the reference's de-facto integration
+test (SURVEY §4: `DIFFUSION_TRAINING_TEST` + nnUNet eval), runnable on CPU.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fast_cwdm_tpu.data import Nifti1Image, save
+
+MODALITIES = ("t1n", "t1c", "t2w", "t2f")
+
+# tiny model flags shared by train/sample CLIs
+TINY_FLAGS = [
+    "--num_channels=16",
+    "--num_res_blocks=1",
+    "--channel_mult=1,2",
+    "--attention_resolutions=",
+    "--num_groups=8",
+    "--bottleneck_attention=False",
+    "--image_size=8",
+    "--in_channels=32",
+    "--out_channels=8",
+    "--dims=3",
+    "--resample_2d=False",
+    "--diffusion_steps=4",
+    "--sample_schedule=sampled",
+    "--mode=i2i",
+]
+
+
+def _make_case(case_dir, modalities=MODALITIES, shape=(24, 24, 15), seed=0):
+    os.makedirs(case_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    base = os.path.basename(case_dir)
+    for m in modalities:
+        vol = (rng.random(shape) * 900 + 100).astype(np.float32)
+        save(
+            Nifti1Image(vol, np.eye(4)),
+            os.path.join(case_dir, f"BraTS-GLI-{base}-000-{m}.nii.gz"),
+        )
+    # a fake segmentation for the nnUNet prep step
+    seg = rng.integers(0, 3, shape).astype(np.int16)
+    seg[seg == 2] = 4
+    save(
+        Nifti1Image(seg, np.eye(4)),
+        os.path.join(case_dir, f"BraTS-GLI-{base}-000-seg.nii.gz"),
+    )
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    train_dir = str(root / "train")
+    for i in range(2):
+        _make_case(os.path.join(train_dir, f"0000{i}"), seed=i)
+    return {
+        "root": str(root),
+        "train": train_dir,
+        "ckpt": str(root / "ckpt"),
+    }
+
+
+@pytest.mark.e2e
+def test_full_pipeline(tree, monkeypatch):
+    from fast_cwdm_tpu.cli import (
+        complete_dataset,
+        drop_modality,
+        evaluate_synthesis,
+        prepare_nnunet_dataset,
+        sample,
+        sample_auto,
+        train,
+    )
+
+    # ---------------- train (2 steps via test hook) ----------------
+    monkeypatch.setenv("DIFFUSION_TRAINING_TEST", "1")
+    train.main(
+        TINY_FLAGS
+        + [
+            f"--data_dir={tree['train']}",
+            f"--checkpoint_dir={tree['ckpt']}",
+            "--contr=t1c",
+            "--data_mesh=1",
+            "--batch_size=1",
+            "--lr=1e-4",
+            "--log_interval=1",
+            "--save_interval=2",
+        ]
+    )
+    monkeypatch.delenv("DIFFUSION_TRAINING_TEST")
+    ckpts = [
+        f
+        for f in os.listdir(tree["ckpt"])
+        if f.startswith("brats_t1c_BEST") and f.endswith(".ckpt")
+    ]
+    assert len(ckpts) == 1, os.listdir(tree["ckpt"])
+    assert ckpts[0] == "brats_t1c_BEST_sampled_4.ckpt"
+    assert os.path.exists(os.path.join(tree["ckpt"], "best_losses.txt"))
+
+    # ---------------- sample ----------------
+    out_dir = os.path.join(tree["root"], "results")
+    sample.main(
+        TINY_FLAGS
+        + [
+            f"--data_dir={tree['train']}",
+            f"--model_path={os.path.join(tree['ckpt'], ckpts[0])}",
+            f"--output_dir={out_dir}",
+            "--contr=t1c",
+        ]
+    )
+    cases = sorted(os.listdir(out_dir))
+    assert len(cases) == 2
+    from fast_cwdm_tpu.data import load
+
+    s = load(os.path.join(out_dir, cases[0], "sample.nii.gz")).get_fdata()
+    t = load(os.path.join(out_dir, cases[0], "target.nii.gz")).get_fdata()
+    assert s.shape == (8, 8, 155) and t.shape == (8, 8, 155)
+    assert 0.0 <= s.min() and s.max() <= 1.0
+
+    # ---------------- evaluate (direct SSIM/PSNR) ----------------
+    report_path = os.path.join(tree["root"], "report.json")
+    evaluate_synthesis.main(
+        ["--mode=direct", f"--sample_dir={out_dir}", f"--report={report_path}"]
+    )
+    report = json.load(open(report_path))
+    assert report["n"] == 2
+    assert report["ssim_mean"] is not None
+
+    # ---------------- drop_modality ----------------
+    pseudo = os.path.join(tree["root"], "pseudo_validation")
+    drop_modality.main(
+        [f"--input_dir={tree['train']}", f"--output_dir={pseudo}"]
+    )
+    for case in os.listdir(pseudo):
+        files = os.listdir(os.path.join(pseudo, case))
+        missing_markers = [f for f in files if f.startswith("missing_")]
+        assert len(missing_markers) == 1
+        n_mods = sum(1 for f in files for m in MODALITIES if f"-{m}." in f)
+        assert n_mods == 3
+
+    # ---------------- sample_auto on the pseudo set ----------------
+    # only run for cases whose missing modality is t1c (we trained only t1c)
+    auto_cases = [
+        c
+        for c in os.listdir(pseudo)
+        if os.path.exists(os.path.join(pseudo, c, "missing_t1c.txt"))
+    ]
+    auto_in = os.path.join(tree["root"], "auto_in")
+    os.makedirs(auto_in, exist_ok=True)
+    for c in auto_cases:
+        os.symlink(os.path.join(pseudo, c), os.path.join(auto_in, c))
+    auto_out = os.path.join(tree["root"], "auto_out")
+    sample_auto.main(
+        TINY_FLAGS
+        + [
+            f"--data_dir={auto_in}",
+            f"--checkpoint_dir={tree['ckpt']}",
+            f"--output_dir={auto_out}",
+        ]
+    )
+    if auto_cases:
+        produced = os.listdir(auto_out)
+        assert len(produced) == len(auto_cases)
+
+    # ---------------- complete_dataset ----------------
+    completed = os.path.join(tree["root"], "completed")
+    complete_dataset.main(
+        [
+            f"--input_dir={auto_in or pseudo}",
+            f"--output_dir={completed}",
+            f"--checkpoint_dir={tree['ckpt']}",
+        ]
+    )
+    for c in os.listdir(completed):
+        files = os.listdir(os.path.join(completed, c))
+        n_mods = sum(1 for f in files for m in MODALITIES if f"-{m}." in f)
+        # only completes if the missing modality was t1c (only ckpt we have)
+        assert n_mods in (3, 4)
+
+    # ---------------- prepare_nnunet_dataset ----------------
+    full_cases = [
+        c
+        for c in os.listdir(completed)
+        if sum(
+            1
+            for f in os.listdir(os.path.join(completed, c))
+            for m in MODALITIES
+            if f"-{m}." in f
+        )
+        == 4
+    ]
+    nnunet_raw = os.path.join(tree["root"], "nnUNet_raw")
+    prepare_nnunet_dataset.main(
+        [f"--input_dir={completed}", f"--nnunet_raw={nnunet_raw}"]
+    )
+    ds_dir = os.path.join(nnunet_raw, "Dataset137_BraTS2023")
+    meta = json.load(open(os.path.join(ds_dir, "dataset.json")))
+    assert meta["numTraining"] == len(full_cases)
+    if full_cases:
+        imgs = os.listdir(os.path.join(ds_dir, "imagesTr"))
+        assert len(imgs) == 4 * len(full_cases)
+
+
+def test_label_remap():
+    from fast_cwdm_tpu.cli.prepare_nnunet_dataset import remap_labels
+
+    seg = np.array([0, 1, 2, 4])
+    np.testing.assert_array_equal(remap_labels(seg), [0, 2, 1, 3])
+
+
+def test_find_missing_modality(tmp_path):
+    from fast_cwdm_tpu.cli.complete_dataset import find_missing_modality
+
+    case = str(tmp_path / "c1")
+    _make_case(case, modalities=("t1n", "t2w", "t2f"))
+    assert find_missing_modality(case) == "t1c"
+    case2 = str(tmp_path / "c2")
+    _make_case(case2)
+    assert find_missing_modality(case2) is None

@@ -1,0 +1,120 @@
+"""Parallel-layer tests on the 8-virtual-device CPU mesh (conftest forces
+``--xla_force_host_platform_device_count=8``).
+
+Validates what the reference could not (world_size hard-coded to 1,
+`dist_util.py:44`): data-parallel gradient averaging and spatially-sharded
+training steps produce the same numerics as a single device.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fast_cwdm_tpu.diffusion.gaussian import GaussianDiffusion
+from fast_cwdm_tpu.models import UNetModel
+from fast_cwdm_tpu.parallel import (
+    batch_spec,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from fast_cwdm_tpu.parallel.mesh import local_batch_size
+from fast_cwdm_tpu.training import TrainState, make_optimizer, make_train_step
+
+MODALITIES = ("t1n", "t1c", "t2w", "t2f")
+
+
+def tiny_model():
+    return UNetModel(
+        image_size=8,
+        in_channels=32,
+        model_channels=16,
+        out_channels=8,
+        num_res_blocks=1,
+        attention_resolutions=(),
+        channel_mult=(1, 2),
+        dims=3,
+        num_groups=8,
+        resblock_updown=True,
+        bottleneck_attention=False,
+        resample_2d=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = tiny_model()
+    diffusion = GaussianDiffusion.named("linear", 10, "sampled", mode="i2i")
+    rng = np.random.default_rng(0)
+    batch = {
+        m: rng.random((8, 8, 8, 8, 1), dtype=np.float32) for m in MODALITIES
+    }
+    from fast_cwdm_tpu.ops import wavelet as wv
+
+    x = jnp.concatenate(
+        [wv.dwt_normalized(jnp.asarray(batch[m])) for m in MODALITIES],
+        axis=-1,
+    )
+    params = model.init(
+        jax.random.PRNGKey(1), x, jnp.zeros((8,), jnp.int32)
+    )["params"]
+    return model, diffusion, batch, params
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest should force 8 CPU devices"
+    mesh = make_mesh()
+    assert dict(mesh.shape) == {"data": 8, "sp": 1}
+    mesh = make_mesh(data=4, sp=2)
+    assert dict(mesh.shape) == {"data": 4, "sp": 2}
+    assert local_batch_size(8, mesh) == 2
+    with pytest.raises(ValueError):
+        local_batch_size(6, make_mesh())
+
+
+def test_batch_spec():
+    mesh = make_mesh(data=4, sp=2)
+    assert batch_spec(mesh, 5) == P("data", None, "sp", None, None)
+    mesh1 = make_mesh(data=8, sp=1)
+    assert batch_spec(mesh1, 5) == P("data", None, None, None, None)
+
+
+@pytest.mark.parametrize("data,sp", [(8, 1), (4, 2)])
+def test_sharded_step_matches_single_device(setup, data, sp):
+    """DP gradient psum + SP halo exchange must not change the numerics."""
+    model, diffusion, batch, params = setup
+    tx = make_optimizer(1e-3)
+    step = make_train_step(model, diffusion, tx, contr="t1n", mode="i2i")
+    key = jax.random.PRNGKey(7)
+
+    # single device
+    state0 = TrainState.create(params, tx)
+    _, m_single = step(state0, jax.tree.map(jnp.asarray, batch), key)
+
+    # sharded
+    mesh = make_mesh(data=data, sp=sp)
+    sharded_batch = shard_batch(mesh, batch)
+    state_sh = jax.device_put(
+        TrainState.create(params, tx), replicated(mesh)
+    )
+    _, m_sharded = step(state_sh, sharded_batch, key)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_sharded["loss"]), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_single["mse_wav"]),
+        np.asarray(m_sharded["mse_wav"]),
+        rtol=2e-4, atol=1e-6,
+    )
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)

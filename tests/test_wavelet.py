@@ -173,3 +173,47 @@ def test_odd_size_rejected():
     x = jnp.zeros((1, 3, 4, 4, 1))
     with pytest.raises(ValueError):
         wv.dwt3(x)
+
+
+class TestHaarClampProject:
+    """Fused block-local x0 projection vs the explicit IDWT→clamp→DWT
+    round trip (`gaussian_diffusion.py:335-354` semantics)."""
+
+    def test_matches_full_roundtrip(self):
+        import jax
+        import jax.numpy as jnp
+
+        from fast_cwdm_tpu.ops import wavelet as wv
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 6, 4, 8))
+        fused = wv.haar_clamp_project(x)
+        img = wv.idwt_normalized(x, channels=1)
+        ref = wv.dwt_normalized(jnp.clip(img, 0.0, 1.0))
+        assert fused.shape == x.shape
+        import numpy as np
+
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), atol=1e-5
+        )
+
+    def test_identity_inside_range(self):
+        """Subbands of an in-range image are a fixed point."""
+        import jax
+        import numpy as np
+
+        from fast_cwdm_tpu.ops import wavelet as wv
+
+        img = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 8, 1))
+        bands = wv.dwt_normalized(img)
+        out = wv.haar_clamp_project(bands)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(bands), atol=1e-5
+        )
+
+    def test_mixing_matrix_orthonormal(self):
+        import numpy as np
+
+        from fast_cwdm_tpu.ops.wavelet import _haar_mixing_matrix
+
+        m = _haar_mixing_matrix()
+        np.testing.assert_allclose(m @ m.T, np.eye(8), atol=1e-12)
