@@ -415,6 +415,68 @@ class GaussianDiffusion:
         final, _ = jax.lax.scan(step, img, (ts, keys))
         return final
 
+    # ------------------------------------------------------------------
+    # Classifier guidance (`gaussian_diffusion.py:422-473`; dead in the
+    # reference's scripts but part of the public surface)
+    # ------------------------------------------------------------------
+
+    def condition_mean(self, cond_fn, p_mean_var, x, t, model_kwargs=None):
+        """Shift the posterior mean by Σ·∇ₓ log p(y|x)
+        (`gaussian_diffusion.py:422-439`)."""
+        gradient = cond_fn(x, self.scale_timesteps(t), **(model_kwargs or {}))
+        return (
+            p_mean_var["mean"].astype(jnp.float32)
+            + p_mean_var["variance"] * gradient.astype(jnp.float32)
+        )
+
+    def condition_score(self, cond_fn, p_mean_var, x, t, model_kwargs=None):
+        """Score-based conditioning (`condition_score2`,
+        `gaussian_diffusion.py:441-473`): adjust eps by
+        -√(1-ᾱ)·∇ₓ log p(y|x), recompute x0 and posterior mean."""
+        x_ref = x[..., : self.target_channels] if self.mode == "i2i" else x
+        abar = _extract(self.alphas_cumprod, t, x_ref.ndim)
+        eps = self.predict_eps_from_xstart(x_ref, t, p_mean_var["pred_xstart"])
+        gradient = cond_fn(x, self.scale_timesteps(t), **(model_kwargs or {}))
+        eps = eps - jnp.sqrt(1.0 - abar) * gradient
+        out = dict(p_mean_var)
+        out["pred_xstart"] = self.predict_xstart_from_eps(x_ref, t, eps)
+        out["mean"], _, _ = self.q_posterior_mean_variance(
+            out["pred_xstart"], x_ref, t
+        )
+        return out
+
+    def p_sample_loop_known(
+        self,
+        model_fn,
+        shape,
+        key,
+        *,
+        img: jax.Array,
+        cond=None,
+        clip_denoised=True,
+        noise_level: int = 500,
+        time: int | None = None,
+    ):
+        """Legacy partial-noising loop (`p_sample_loop_known`,
+        `gaussian_diffusion.py:576-666`): noise a KNOWN image to
+        ``noise_level`` with q_sample, then denoise from there."""
+        t_total = min(
+            noise_level, self.num_timesteps if time is None else time
+        )
+        key_noise, key_loop = jax.random.split(key)
+        noise = jax.random.normal(key_noise, tuple(shape), dtype=jnp.float32)
+        t0 = jnp.full((shape[0],), t_total - 1, dtype=jnp.int32)
+        x = self.q_sample(img, t0, noise)
+        return self.p_sample_loop(
+            model_fn,
+            shape,
+            key_loop,
+            cond=cond,
+            noise=x,
+            clip_denoised=clip_denoised,
+            time=t_total,
+        )
+
     def p_sample_loop_progressive(
         self,
         model_fn,
@@ -555,6 +617,40 @@ class GaussianDiffusion:
         final, _ = jax.lax.scan(step, img, (ts, keys))
         return final
 
+    def ddim_sample_loop_progressive(
+        self,
+        model_fn,
+        shape,
+        key,
+        *,
+        cond=None,
+        noise=None,
+        clip_denoised=True,
+        eta: float = 0.0,
+        time: int | None = None,
+    ):
+        """Per-step DDIM generator (`gaussian_diffusion.py:941-1007`);
+        prefer the scanned :meth:`ddim_sample_loop`."""
+        t_total = self.num_timesteps if time is None else time
+        key_init, key_loop = jax.random.split(key)
+        img = (
+            noise
+            if noise is not None
+            else jax.random.normal(key_init, tuple(shape), dtype=jnp.float32)
+        )
+        step = jax.jit(
+            lambda x, t, k: self.ddim_sample(
+                model_fn, x, t, k, cond=cond,
+                clip_denoised=clip_denoised, eta=eta,
+            )
+        )
+        for i in range(t_total - 1, -1, -1):
+            t = jnp.full((img.shape[0],), i, dtype=jnp.int32)
+            key_loop, sub = jax.random.split(key_loop)
+            out = step(img, t, sub)
+            yield out
+            img = out["sample"]
+
     # ------------------------------------------------------------------
     # Training losses
     # ------------------------------------------------------------------
@@ -655,3 +751,45 @@ class GaussianDiffusion:
         mean, _, log_var = self.q_mean_variance(x_start, t)
         kl = L.normal_kl(mean, log_var, 0.0, 0.0)
         return L.mean_flat(kl) / np.log(2.0)
+
+    def calc_bpd_loop(
+        self, model_fn, x_start, key, *, cond=None, clip_denoised=True
+    ):
+        """Full variational bound over all timesteps
+        (`gaussian_diffusion.py:1168-1243` — which is broken bit-rot in the
+        reference: it calls a nonexistent ``_vb_terms_bptimestepsd`` at
+        `:1218`; implemented correctly here as a documented deviation).
+
+        Returns dict with total_bpd (B,), prior_bpd (B,), vb (B,T),
+        xstart_mse (B,T), mse (B,T).
+        """
+        from fast_cwdm_tpu.diffusion import losses as L
+
+        b = x_start.shape[0]
+        vb, xstart_mse, mse = [], [], []
+        for ti in range(self.num_timesteps - 1, -1, -1):
+            t = jnp.full((b,), ti, dtype=jnp.int32)
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, x_start.shape, x_start.dtype)
+            x_t = self.q_sample(x_start, t, noise)
+            out = self.vb_terms_bpd(
+                model_fn, x_start, x_t, t, cond=cond,
+                clip_denoised=clip_denoised,
+            )
+            vb.append(out["output"])
+            xstart_mse.append(
+                L.mean_flat((out["pred_xstart"] - x_start) ** 2)
+            )
+            eps = self.predict_eps_from_xstart(x_t, t, out["pred_xstart"])
+            mse.append(L.mean_flat((eps - noise) ** 2))
+        vb = jnp.stack(vb, axis=1)
+        xstart_mse = jnp.stack(xstart_mse, axis=1)
+        mse = jnp.stack(mse, axis=1)
+        prior = self.prior_bpd(x_start)
+        return {
+            "total_bpd": vb.sum(axis=1) + prior,
+            "prior_bpd": prior,
+            "vb": vb,
+            "xstart_mse": xstart_mse,
+            "mse": mse,
+        }

@@ -3,13 +3,17 @@
 from fast_cwdm_tpu.models.factory import (  # noqa: F401
     add_dict_to_argparser,
     args_to_dict,
+    classifier_and_diffusion_defaults,
     classifier_defaults,
     create_classifier,
+    create_classifier_and_diffusion,
     create_gaussian_diffusion,
     create_model,
     create_model_and_diffusion,
     diffusion_defaults,
     model_and_diffusion_defaults,
+    sr_create_model_and_diffusion,
+    sr_model_and_diffusion_defaults,
     str2bool,
 )
 from fast_cwdm_tpu.models.nn import (  # noqa: F401
@@ -25,6 +29,8 @@ from fast_cwdm_tpu.models.unet import (  # noqa: F401
     SuperResModel,
     UNetModel,
     Upsample,
+    WaveletGatingDownsample,
+    WaveletGatingUpsample,
 )
 from fast_cwdm_tpu.models.wunet import (  # noqa: F401
     WavResBlock,

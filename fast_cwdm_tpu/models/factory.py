@@ -337,6 +337,100 @@ def create_classifier(
     )
 
 
+def classifier_and_diffusion_defaults() -> dict[str, Any]:
+    """(`script_util.py:107-110`)"""
+    res = classifier_defaults()
+    res.update(diffusion_defaults())
+    return res
+
+
+def create_classifier_and_diffusion(**cfg):
+    """(`script_util.py:295-346`)"""
+    merged = {**classifier_and_diffusion_defaults(), **cfg}
+    classifier = create_classifier(
+        merged["image_size"],
+        merged["classifier_use_fp16"],
+        merged["classifier_width"],
+        merged["classifier_depth"],
+        merged["classifier_attention_resolutions"],
+        merged["classifier_use_scale_shift_norm"],
+        merged["classifier_resblock_updown"],
+        merged["classifier_pool"],
+        merged["dataset"],
+        dims=merged["dims"],
+        num_groups=merged["num_groups"],
+        in_channels=merged["in_channels"],
+        num_head_channels=merged["classifier_num_head_channels"],
+        classifier_channel_mult=merged["classifier_channel_mult"],
+    )
+    diffusion = create_gaussian_diffusion(
+        steps=merged["diffusion_steps"],
+        learn_sigma=merged["learn_sigma"],
+        noise_schedule=merged["noise_schedule"],
+        use_kl=merged["use_kl"],
+        predict_xstart=merged["predict_xstart"],
+        rescale_timesteps=merged["rescale_timesteps"],
+        rescale_learned_sigmas=merged["rescale_learned_sigmas"],
+        timestep_respacing=merged["timestep_respacing"],
+    )
+    return classifier, diffusion
+
+
+def sr_model_and_diffusion_defaults() -> dict[str, Any]:
+    """(`script_util.py:411-419`)"""
+    res = model_and_diffusion_defaults()
+    res["large_size"] = 256
+    res["small_size"] = 64
+    for k in ("image_size", "channel_mult", "out_channels", "in_channels"):
+        res.pop(k, None)
+    return res
+
+
+def sr_create_model_and_diffusion(**cfg):
+    """Super-resolution factory (`script_util.py:422-526`): a 2D
+    `SuperResModel` conditioned on the bilinear-upsampled low-res image."""
+    from fast_cwdm_tpu.models.unet import SuperResModel
+
+    merged = {**sr_model_and_diffusion_defaults(), **cfg}
+    large = merged["large_size"]
+    presets = {512: (1, 1, 2, 2, 4, 4), 256: (1, 1, 2, 2, 4, 4),
+               64: (1, 2, 3, 4)}
+    if large not in presets:
+        raise ValueError(f"unsupported large size: {large}")
+    unet = UNetModel(
+        image_size=large,
+        in_channels=6,  # 3 + 3 upsampled low-res
+        model_channels=merged["num_channels"],
+        out_channels=(3 if not merged["learn_sigma"] else 6),
+        num_res_blocks=merged["num_res_blocks"],
+        attention_resolutions=_attention_ds(
+            merged["attention_resolutions"], large
+        ),
+        dropout=merged["dropout"],
+        channel_mult=presets[large],
+        num_classes=(NUM_CLASSES if merged["class_cond"] else None),
+        dims=2,
+        num_heads=merged["num_heads"],
+        num_head_channels=merged["num_head_channels"],
+        num_heads_upsample=merged["num_heads_upsample"],
+        use_scale_shift_norm=merged["use_scale_shift_norm"],
+        resblock_updown=merged["resblock_updown"],
+        num_groups=merged.get("num_groups", 32),
+    )
+    model = SuperResModel(unet=unet)
+    diffusion = create_gaussian_diffusion(
+        steps=merged["diffusion_steps"],
+        learn_sigma=merged["learn_sigma"],
+        noise_schedule=merged["noise_schedule"],
+        use_kl=merged["use_kl"],
+        predict_xstart=merged["predict_xstart"],
+        rescale_timesteps=merged["rescale_timesteps"],
+        rescale_learned_sigmas=merged["rescale_learned_sigmas"],
+        timestep_respacing=merged["timestep_respacing"],
+    )
+    return model, diffusion
+
+
 # ---------------------------------------------------------------------------
 # argparse plumbing (`script_util.py:579-604`)
 # ---------------------------------------------------------------------------

@@ -109,6 +109,59 @@ class Downsample(nn.Module):
         return avg_pool_nd(x, window)
 
 
+class WaveletGatingDownsample(nn.Module):
+    """Wavelet-gated downsample (`unet.py:103-137`; unused in the
+    reference's main path but part of the model surface): DWT the features,
+    gate each of the 8 subbands by sigmoid(MLP(global-avg-pool ⊕ temb)),
+    and sum the gated subbands."""
+
+    channels: int
+    temb_dim: int
+    wavelet: str = "haar"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
+        from fast_cwdm_tpu.ops import wavelet as wv
+
+        pooled = x.mean(axis=_spatial_axes(x.ndim, 3))  # (B, C)
+        g = nn.Dense(128, dtype=self.dtype, name="fnn_0")(
+            jnp.concatenate([pooled, temb], axis=-1)
+        )
+        g = nn.Dense(8, dtype=self.dtype, name="fnn_2")(nn.silu(g))
+        gates = jax.nn.sigmoid(g)  # (B, 8)
+        bands = wv.dwt3(x, self.wavelet)  # (B, X/2, Y/2, Z/2, 8, C)
+        gates = gates.reshape(gates.shape[0], 1, 1, 1, 8, 1)
+        return (bands * gates).sum(axis=-2)
+
+
+class WaveletGatingUpsample(nn.Module):
+    """Wavelet-gated upsample (`unet.py:140-181`): 1×1-conv channel
+    expansion into 8 subbands, gate by sigmoid(MLP(pool ⊕ temb)), IDWT."""
+
+    channels: int
+    temb_dim: int
+    wavelet: str = "haar"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
+        from fast_cwdm_tpu.ops import wavelet as wv
+
+        pooled = x.mean(axis=_spatial_axes(x.ndim, 3))
+        g = nn.Dense(128, dtype=self.dtype, name="fnn_0")(
+            jnp.concatenate([pooled, temb], axis=-1)
+        )
+        g = nn.Dense(8, dtype=self.dtype, name="fnn_2")(nn.silu(g))
+        gates = jax.nn.sigmoid(g)
+        expanded = conv_nd(
+            self.channels * 8, 1, dims=3, dtype=self.dtype, name="conv_exp"
+        )(x)
+        bands = expanded.reshape(*expanded.shape[:-1], 8, self.channels)
+        bands = bands * gates.reshape(gates.shape[0], 1, 1, 1, 8, 1)
+        return wv.idwt3(bands, self.wavelet)
+
+
 class ResBlock(nn.Module):
     """Residual block with timestep conditioning (`unet.py:185-311`).
 
