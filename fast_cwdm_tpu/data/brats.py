@@ -37,13 +37,36 @@ def clip_and_normalize(img: np.ndarray) -> np.ndarray:
     return (img_clipped - lo) / (hi - lo)
 
 
-def preprocess_volume(vol: np.ndarray) -> np.ndarray:
-    """clip/normalize → pad Z to 160 → crop X,Y to 224 → (X,Y,Z,1) f32."""
-    vol = clip_and_normalize(vol)
+def pad_crop(vol: np.ndarray) -> np.ndarray:
+    """Pad Z to 160 → crop X,Y by 8 → (X',Y',Z',1) f32 (geometry part of
+    `bratsloader.py:48-50`)."""
     out = np.zeros((vol.shape[0], vol.shape[1], PADDED_Z), dtype=np.float32)
     out[:, :, : vol.shape[2]] = vol
     out = out[CROP:-CROP, CROP:-CROP, :]
     return out[..., None]
+
+
+def preprocess_volume(vol: np.ndarray) -> np.ndarray:
+    """clip/normalize → pad Z to 160 → crop X,Y to 224 → (X,Y,Z,1) f32."""
+    return pad_crop(clip_and_normalize(vol))
+
+
+def load_preprocessed(path: str) -> np.ndarray:
+    """Load + preprocess one modality volume.
+
+    Uses the native C++ decode + fused clip/normalize
+    (``data/native/fastnifti.cpp``) when available — the ctypes call
+    releases the GIL so `ThreadedLoader` decodes cases on all cores —
+    falling back to the pure-Python reader."""
+    if os.environ.get("FAST_CWDM_NATIVE", "1") != "0":
+        from fast_cwdm_tpu.data import native
+
+        res = native.load_volume(path)
+        if res is not None:
+            vol, _ = res
+            if native.clip_and_normalize_inplace(vol) is not None:
+                return pad_crop(vol)
+    return preprocess_volume(nifti.load(path).get_fdata())
 
 
 def unprocess_volume(vol: np.ndarray, raw_shape=None) -> np.ndarray:
@@ -105,8 +128,7 @@ class BRATSVolumes:
         out: dict = {}
         for m in MODALITIES:
             if m in filedict:
-                vol = nifti.load(filedict[m]).get_fdata()
-                out[m] = preprocess_volume(vol)
+                out[m] = load_preprocessed(filedict[m])
             else:
                 missing = m
                 out[m] = np.zeros((1,), dtype=np.float32)

@@ -221,13 +221,29 @@ class TrainLoop:
                 loss = float(m["loss"])
                 window_losses.append(loss)
                 if not np.isfinite(loss):
+                    # failure detection (`train_util.py:377-383` warns or
+                    # breakpoints; here: warn, or raise under
+                    # FAST_CWDM_STRICT_FINITE for CI/production)
                     logger.log(f"Encountered non-finite loss {loss}")
+                    if os.environ.get("FAST_CWDM_STRICT_FINITE"):
+                        raise FloatingPointError(
+                            f"non-finite loss {loss} at step {step}"
+                        )
                 logger.logkv("step", step)
                 logger.logkv("loss", loss)
                 logger.logkv("norm/grad_max", float(m["grad_max"]))
                 logger.logkv("norm/param_max", float(m["param_max"]))
                 for i, name in enumerate(SUBBAND_NAMES):
                     logger.logkv(f"loss/mse_wav_{name}", float(m["mse_wav"][i]))
+                # per-quartile loss binning by t (`log_loss_dict`,
+                # `train_util.py:554-560`)
+                T = self.diffusion.num_timesteps
+                for ls, ti in zip(
+                    np.atleast_1d(m["loss_per_sample"]),
+                    np.atleast_1d(m["t"]),
+                ):
+                    quartile = int(4 * int(ti) / T)
+                    logger.logkv_mean(f"loss_q{quartile}", float(ls))
                 logger.dumpkvs()
                 t3 = time.time()
                 t_log += t3 - t2

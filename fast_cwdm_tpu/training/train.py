@@ -101,7 +101,11 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    @jax.jit
+    import functools
+
+    # donate the state: params/opt/EMA buffers update in place on TPU
+    # (no-op on CPU, which doesn't support donation)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, key: jax.Array):
         key_t, key_noise, key_drop = jax.random.split(key, 3)
         if mode == "i2i":
@@ -133,9 +137,10 @@ def make_train_step(
         metrics = {
             "loss": loss,
             "mse_wav": terms["mse_wav"],
+            "loss_per_sample": terms["loss_per_sample"],
+            "t": t,
             "grad_max": _tree_max_abs(grads),
             "param_max": _tree_max_abs(params),
-            "t_mean": t.astype(jnp.float32).mean(),
         }
         return new_state, metrics
 

@@ -130,6 +130,33 @@ class TensorBoardOutput:
         self.writer.close()
 
 
+class WandbOutput:
+    """Weights & Biases sink. The reference hard-codes project/entity
+    (`scripts/train.py:32-37`); here both come from $WANDB_PROJECT /
+    $WANDB_ENTITY and the sink is skipped if wandb isn't importable."""
+
+    def __init__(self):
+        import wandb  # gated: not in the base image
+
+        self.wandb = wandb
+        if wandb.run is None:
+            wandb.init(
+                project=os.environ.get("WANDB_PROJECT", "fast-cwdm-tpu"),
+                entity=os.environ.get("WANDB_ENTITY"),
+            )
+
+    def writekvs(self, kvs):
+        self.wandb.log(
+            {k: float(v) for k, v in kvs.items() if hasattr(v, "__float__")}
+        )
+
+    def writeseq(self, seq):
+        pass
+
+    def close(self):
+        pass
+
+
 def make_output(fmt: str, logdir: str):
     if fmt == "stdout":
         import sys
@@ -143,6 +170,8 @@ def make_output(fmt: str, logdir: str):
         return CSVOutput(osp.join(logdir, "progress.csv"))
     if fmt == "tensorboard":
         return TensorBoardOutput(osp.join(logdir, "tb"))
+    if fmt == "wandb":
+        return WandbOutput()
     raise ValueError(f"Unknown format {fmt}")
 
 
