@@ -63,24 +63,73 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+class _AsyncWriter:
+    """One-in-flight background checkpoint writer: the device→host copy
+    happens on the caller's thread (the arrays may be donated by the next
+    train step), but msgpack serialization + disk IO overlap with compute
+    (the reference blocks the step loop on torch.save,
+    `train_util.py:343-356`)."""
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._thread = None
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def submit(self, fn, *args):
+        self.wait()
+        self._thread = self._threading.Thread(
+            target=fn, args=args, daemon=True
+        )
+        self._thread.start()
+
+
+_async_writer = _AsyncWriter()
+
+
+def wait_for_pending_saves():
+    """Block until any in-flight async checkpoint write completes."""
+    _async_writer.wait()
+
+
 def save_checkpoint(
     path: str,
     payload: dict[str, Any],
     config: dict[str, Any] | None = None,
+    *,
+    async_write: bool = False,
 ) -> None:
-    """msgpack-serialize a pytree payload (+ config sidecar JSON)."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    blob = serialization.to_bytes(_to_host(payload))
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)
-    if config is not None:
-        with open(path + ".json", "w") as f:
-            json.dump(config, f, indent=2, default=str)
+    """msgpack-serialize a pytree payload (+ config sidecar JSON).
+
+    ``async_write=True`` copies to host synchronously, then serializes and
+    writes on a background thread (one in flight at a time)."""
+    host_payload = _to_host(payload)
+
+    def write():
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        blob = serialization.to_bytes(host_payload)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        if config is not None:
+            with open(path + ".json", "w") as f:
+                json.dump(config, f, indent=2, default=str)
+
+    if async_write:
+        _async_writer.submit(write)
+    else:
+        _async_writer.wait()
+        write()
 
 
 def load_checkpoint(path: str, template: dict[str, Any]) -> dict[str, Any]:
+    _async_writer.wait()  # the file may still be in flight
     with open(path, "rb") as f:
         blob = f.read()
     return serialization.from_bytes(template, blob)
@@ -155,23 +204,30 @@ def save_if_best(
     diffusion_steps: int,
     dataset: str = "brats",
     config: dict[str, Any] | None = None,
+    async_write: bool = False,
 ) -> bool:
     """Keep ONE best checkpoint per modality (`train_util.py:315-362`),
     deleting the previous best. Returns True if saved."""
     best = load_best_losses(ckpt_dir)
     if contr in best and loss >= best[contr]:
         return False
+    _async_writer.wait()
     # delete previous best files for this modality
     for old in glob(os.path.join(ckpt_dir, f"{dataset}_{contr}_BEST_*.ckpt")):
         for p in (old, old + ".json"):
             if os.path.exists(p):
                 os.remove(p)
     name = best_checkpoint_name(contr, sample_schedule, diffusion_steps, dataset)
-    save_checkpoint(os.path.join(ckpt_dir, name), payload, config)
     if opt_payload is not None:
         save_checkpoint(
-            os.path.join(ckpt_dir, f"opt_best_{contr}.ckpt"), opt_payload
+            os.path.join(ckpt_dir, f"opt_best_{contr}.ckpt"),
+            opt_payload,
+            async_write=async_write,
         )
+    save_checkpoint(
+        os.path.join(ckpt_dir, name), payload, config,
+        async_write=async_write,
+    )
     best[contr] = float(loss)
     save_best_losses(ckpt_dir, best)
     return True

@@ -106,6 +106,7 @@ class TrainLoop:
             contr=contr,
             mode=mode,
             sampler=self.sampler,
+            donate=True,
         )
         self.key = jax.random.PRNGKey(seed)
         self.state: TrainState | None = None
@@ -263,8 +264,10 @@ class TrainLoop:
                 t_save += time.time() - t3
                 if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
                     logger.log("DIFFUSION_TRAINING_TEST: early exit")
+                    ckpt.wait_for_pending_saves()
                     return self.state
 
+        ckpt.wait_for_pending_saves()
         return self.state
 
     # ------------------------------------------------------------------
@@ -284,6 +287,7 @@ class TrainLoop:
             sample_schedule=self.sample_schedule,
             diffusion_steps=self.diffusion_steps,
             dataset=self.dataset,
+            async_write=True,
             config={
                 **self.config,
                 "sample_schedule": self.sample_schedule,

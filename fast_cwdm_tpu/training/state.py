@@ -43,7 +43,13 @@ class TrainState:
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
-            ema_params=tuple(params for _ in ema_rates),
+            # EMA shadows must be distinct buffers, not aliases of params —
+            # the train step donates the whole state and XLA rejects
+            # donating the same buffer twice
+            ema_params=tuple(
+                jax.tree.map(lambda p: jnp.array(p, copy=True), params)
+                for _ in ema_rates
+            ),
             ema_rates=tuple(float(r) for r in ema_rates),
             sampler_state=sampler_state,
         )

@@ -69,12 +69,17 @@ def make_train_step(
     mode: str = "i2i",
     sampler: Any = None,
     compute_dtype=None,
+    donate: bool = False,
 ) -> Callable[[TrainState, Any, jax.Array], tuple[TrainState, dict]]:
-    """Build the donated-jit train step.
+    """Build the jitted train step.
 
     ``batch``: dict of image-space volumes ``(B, X, Y, Z, 1)`` keyed by
     modality (i2i) or a single array. Returns ``(new_state, metrics)`` with
     metrics = {loss, mse_wav(8,), grad_max, param_max, lr_step}.
+
+    ``donate=True`` donates the input state so params/opt/EMA update in
+    place (used by `TrainLoop`; leave False when the caller re-reads the
+    pre-step state — donated buffers are invalidated).
     """
     sampler = sampler or UniformSampler(diffusion.num_timesteps)
     loss_aware = isinstance(sampler, LossSecondMomentResampler)
@@ -103,9 +108,9 @@ def make_train_step(
 
     import functools
 
-    # donate the state: params/opt/EMA buffers update in place on TPU
-    # (no-op on CPU, which doesn't support donation)
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(
+        jax.jit, donate_argnums=((0,) if donate else ())
+    )
     def step(state: TrainState, batch, key: jax.Array):
         key_t, key_noise, key_drop = jax.random.split(key, 3)
         if mode == "i2i":
