@@ -266,17 +266,58 @@ def idwt3(bands: jax.Array, wavelet: str = "haar") -> jax.Array:
     return parts[0]
 
 
-def dwt3_flat(x: jax.Array, wavelet: str = "haar") -> jax.Array:
+def _pallas_eligible(shape, wavelet: str, channels: int) -> bool:
+    """Use the Pallas MXU kernels (ops/wavelet_pallas.py) when on TPU for
+    the single-channel Haar case (the production image path)."""
+    if wavelet not in ("haar", "db1") or channels != 1:
+        return False
+    if any(int(s) % 2 for s in shape[-4:-1]):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def dwt3_flat(
+    x: jax.Array, wavelet: str = "haar", impl: str = "auto"
+) -> jax.Array:
     """3D DWT with bands fused into channels: ``(..., X/2, Y/2, Z/2, 8*C)``.
 
     Band-major channel layout: for C=1 this is exactly the reference's 8-ch
-    concat (`gaussian_diffusion.py:1131-1140`).
+    concat (`gaussian_diffusion.py:1131-1140`). ``impl``: "auto" picks the
+    Pallas TPU kernel for Haar/C=1, else the XLA slice/add path.
     """
+    if impl == "pallas" or (
+        impl == "auto"
+        and x.shape[-1] == 1
+        and _pallas_eligible(x.shape, wavelet, 1)
+    ):
+        from fast_cwdm_tpu.ops import wavelet_pallas as wp
+
+        return wp.dwt3_flat_pallas(x)
     b = dwt3(x, wavelet)
     return b.reshape(*b.shape[:-2], b.shape[-2] * b.shape[-1])
 
 
-def idwt3_flat(y: jax.Array, channels: int = 1, wavelet: str = "haar") -> jax.Array:
+def idwt3_flat(
+    y: jax.Array,
+    channels: int = 1,
+    wavelet: str = "haar",
+    impl: str = "auto",
+) -> jax.Array:
+    if channels == 1 and (
+        impl == "pallas"
+        or (
+            impl == "auto"
+            and _pallas_eligible(
+                tuple(2 * s for s in y.shape[-4:-1]) + (1,), wavelet, 1
+            )
+        )
+    ):
+        from fast_cwdm_tpu.ops import wavelet_pallas as wp
+
+        return wp.idwt3_flat_pallas(y)
     b = y.reshape(*y.shape[:-1], 8, channels)
     return idwt3(b, wavelet)
 

@@ -67,10 +67,12 @@ def _dwt3_kernel(x_ref, ly_ref, hy_ref, lzt_ref, hzt_ref, out_ref):
     band = 0
     for vx in (ax, dx):  # X: low, high
         for my in (ly_ref, hy_ref):  # Y: low, high
-            vy = jnp.dot(my[:], vx, preferred_element_type=_F32)
+            vy = jnp.dot(my[:], vx, preferred_element_type=_F32,
+                         precision=jax.lax.Precision.HIGHEST)
             for mz in (lzt_ref, hzt_ref):  # Z: low, high
                 out_ref[band, 0] = jnp.dot(
-                    vy, mz[:], preferred_element_type=_F32
+                    vy, mz[:], preferred_element_type=_F32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 band += 1
 
@@ -91,8 +93,10 @@ def _idwt3_kernel(b_ref, lyt_ref, hyt_ref, lz_ref, hz_ref, out_ref):
         for my in (lyt_ref, hyt_ref):
             for mz in (lz_ref, hz_ref):
                 v = b_ref[band, 0]
-                v = jnp.dot(v, mz[:], preferred_element_type=_F32)
-                v = jnp.dot(my[:], v, preferred_element_type=_F32)
+                v = jnp.dot(v, mz[:], preferred_element_type=_F32,
+                            precision=jax.lax.Precision.HIGHEST)
+                v = jnp.dot(my[:], v, preferred_element_type=_F32,
+                            precision=jax.lax.Precision.HIGHEST)
                 if xi == 0:
                     acc_a = v if acc_a is None else acc_a + v
                 else:
