@@ -83,22 +83,24 @@ def main():
         k_init, jnp.zeros((b, 16, 16, 16, 32)), jnp.zeros((b,), jnp.int32)
     )["params"]
 
-    def model_fn(x, t):
-        return model.apply({"params": params}, x, t)
-
+    # params are jit ARGS (closure params would be embedded in the HLO —
+    # hundreds of MB shipped to the compiler)
     # ---------------- fused: whole chain = one lax.scan program ----------
     @jax.jit
-    def sample_fused(noise, cond, key):
+    def sample_fused(params, noise, cond, key):
+        def model_fn(x, t):
+            return model.apply({"params": params}, x, t)
+
         return diffusion.p_sample_loop(
             model_fn, lat, key, cond=cond, noise=noise
         )
 
-    out = sample_fused(noise, cond, k_loop)
+    out = sample_fused(params, noise, cond, k_loop)
     out.block_until_ready()  # compile
     times = []
     for i in range(args.repeats):
         t0 = time.perf_counter()
-        out = sample_fused(noise, cond, jax.random.fold_in(k_loop, i))
+        out = sample_fused(params, noise, cond, jax.random.fold_in(k_loop, i))
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
     fused_s = min(times)
@@ -109,7 +111,10 @@ def main():
     refstyle_s = None
     if not args.skip_baseline:
         @jax.jit
-        def one_step(x, t, k, cond):
+        def one_step(params, x, t, k, cond):
+            def model_fn(xx, tt):
+                return model.apply({"params": params}, xx, tt)
+
             return diffusion.p_sample(model_fn, x, t, k, cond=cond)["sample"]
 
         def sample_refstyle(noise, cond, key):
@@ -117,7 +122,7 @@ def main():
             for i in range(diffusion.num_timesteps - 1, -1, -1):
                 key, sub = jax.random.split(key)
                 t = jnp.full((b,), i, jnp.int32)
-                x = one_step(x, t, sub, cond)
+                x = one_step(params, x, t, sub, cond)
                 np.asarray(x[0, 0, 0, 0, 0])  # per-step host sync (ref-style)
             return x
 

@@ -98,13 +98,18 @@ def prepare_condition(
 def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155):
     """One jitted program: scan the full reverse chain, IDWT, clamp [0,1],
     zero non-brain voxels via the first condition volume
-    (`scripts/sample.py:104-125`)."""
+    (`scripts/sample.py:104-125`).
 
-    def model_fn(x, t):
-        return model.apply({"params": params}, x, t)
+    ``params`` are a jit ARGUMENT, not a closure constant — closed-over
+    params get embedded in the HLO (hundreds of MB for the production
+    model), bloating compiles.
+    """
 
     @jax.jit
-    def synth(cond: jax.Array, mask_vol: jax.Array, key: jax.Array):
+    def synth(params, cond: jax.Array, mask_vol: jax.Array, key: jax.Array):
+        def model_fn(x, t):
+            return model.apply({"params": params}, x, t)
+
         b = cond.shape[0]
         shape = (b, *cond.shape[1:-1], diffusion.target_channels)
         sample = diffusion.p_sample_loop(model_fn, shape, key, cond=cond)
@@ -113,8 +118,12 @@ def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155):
         img = jnp.where(mask_vol == 0, 0.0, img)
         return img
 
+    device_params = jax.device_put(params)
+
     def run(cond, mask_vol, key) -> np.ndarray:
-        img = synth(jnp.asarray(cond), jnp.asarray(mask_vol), key)
+        img = synth(
+            device_params, jnp.asarray(cond), jnp.asarray(mask_vol), key
+        )
         img = np.array(img)[..., 0]  # writable host copy, drop channel
         return img[:, :, :, :crop_z]
 

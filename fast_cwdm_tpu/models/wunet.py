@@ -17,6 +17,12 @@ ResBlock (`wunet.py:148-269`) is expressed as explicit ``(h, skip)`` state in
 the model loop; the reference's broken ``use_freq`` + ``conv_resample``
 standalone-Downsample combination (`wunet.py:110-124` unpacks a conv output
 as 8 subbands) is implemented sanely: ``use_freq`` always uses the DWT.
+Additionally, the reference's decoder accidentally re-appends the previous
+iteration's layer list when building each upsample block
+(`wunet.py:647-673`: ``layers.append(...)`` at ``i == num_res_blocks``
+mutates the PREVIOUS ``layers``), so the shared plain ResBlock runs twice
+per level at inference; this framework runs each decoder block once (clean
+semantics — intentional deviation).
 """
 
 from __future__ import annotations

@@ -246,6 +246,15 @@ class TrainLoop:
                     quartile = int(4 * int(ti) / T)
                     logger.logkv_mean(f"loss_q{quartile}", float(ls))
                 logger.dumpkvs()
+                # mid-plane x0 image every other log window
+                # (`train_util.py:226-284` logs every 200 steps)
+                if step % (2 * self.log_interval) == 0:
+                    from fast_cwdm_tpu.utils import visualize
+
+                    logger.log_images(
+                        {"x0_mid_plane": visualize(m["sample_slice"][0])},
+                        step,
+                    )
                 t3 = time.time()
                 t_log += t3 - t2
                 total = t_data + t_step + t_log + t_save

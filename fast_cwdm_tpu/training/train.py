@@ -97,11 +97,16 @@ def make_train_step(
                 **kw,
             ).astype(jnp.float32)
 
-        terms, _, _ = diffusion.training_losses(
+        terms, _, out_idwt = diffusion.training_losses(
             model_fn, batch, t, key_noise, contr=contr, mode=mode
         )
         # equal subband weights (`train_util.py:447-449`)
         loss = terms["mse_wav"].mean()
+        # mid-plane slice of the denoised image for TB image logging
+        # (`train_util.py:226-284` logs x0 mid-planes) — a slice, not the
+        # full volume, so metrics stay tiny
+        terms = dict(terms)
+        terms["sample_slice"] = out_idwt[:, :, :, out_idwt.shape[3] // 2, 0]
         return loss, terms
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -144,6 +149,7 @@ def make_train_step(
             "mse_wav": terms["mse_wav"],
             "loss_per_sample": terms["loss_per_sample"],
             "t": t,
+            "sample_slice": terms["sample_slice"],
             "grad_max": _tree_max_abs(grads),
             "param_max": _tree_max_abs(params),
         }

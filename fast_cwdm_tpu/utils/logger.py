@@ -263,6 +263,16 @@ def log(*args, **kwargs):
     _get().log(*args, **kwargs)
 
 
+def log_images(images: dict, step: int) -> None:
+    """Write 2D arrays as images to any TensorBoard sink (the reference
+    logs x0/subband mid-planes, `train_util.py:226-284`)."""
+    for o in _get().outputs:
+        if isinstance(o, TensorBoardOutput):
+            for k, v in images.items():
+                o.writer.add_image(k, v[None], step)
+            o.writer.flush()
+
+
 @contextlib.contextmanager
 def profile_kv(name):
     """Accumulate wall-clock under ``wait_{name}`` (`logger.py:293-303`)."""
