@@ -68,7 +68,7 @@ def create_argparser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     import jax
 
-    from fast_cwdm_tpu.data import BRATSVolumes, iterate_batches
+    from fast_cwdm_tpu.data import BRATSVolumes, LIDCVolumes, iterate_batches
     from fast_cwdm_tpu.diffusion.resample import create_named_schedule_sampler
     from fast_cwdm_tpu.models import create_model_and_diffusion
     from fast_cwdm_tpu.parallel import make_mesh, setup_distributed
@@ -95,13 +95,27 @@ def main(argv=None) -> None:
         )
         logger.log(f"mesh: {dict(mesh.shape)}")
 
-    dataset = BRATSVolumes(args.data_dir, mode="train")
+    if args.dataset == "lidc-idri":
+        dataset = LIDCVolumes(args.data_dir, mode="train")
+    else:
+        dataset = BRATSVolumes(args.data_dir, mode="train")
     logger.log(f"dataset: {len(dataset)} cases from {args.data_dir}")
 
-    def data():
-        return iterate_batches(
-            dataset, args.batch_size, shuffle=True, seed=args.seed
-        )
+    if args.dataset == "lidc-idri":
+        # unconditional: batches are plain arrays
+        def data():
+            order = np.random.permutation(len(dataset))
+            buf = []
+            for i in order:
+                buf.append(dataset[int(i)])
+                if len(buf) == args.batch_size:
+                    yield np.stack(buf)
+                    buf = []
+    else:
+        def data():
+            return iterate_batches(
+                dataset, args.batch_size, shuffle=True, seed=args.seed
+            )
 
     sampler = create_named_schedule_sampler(
         args.schedule_sampler, diffusion.num_timesteps

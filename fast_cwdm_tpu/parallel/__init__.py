@@ -10,6 +10,7 @@ from fast_cwdm_tpu.parallel.mesh import (  # noqa: F401
     SPATIAL_AXIS,
     batch_sharding,
     batch_spec,
+    make_hybrid_mesh,
     make_mesh,
     replicated,
     setup_distributed,

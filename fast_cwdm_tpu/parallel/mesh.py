@@ -71,6 +71,25 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS))
 
 
+def make_hybrid_mesh(sp: int = 1) -> Mesh:
+    """Multi-slice mesh: the ``data`` axis spans DCN (one group per slice)
+    × ICI within a slice; ``sp`` stays intra-slice so conv halo exchanges
+    ride ICI only. This is the multi-host BraTS-sweep capability the
+    reference's world_size-1 dist scaffolding never reached
+    (`dist_util.py:42-44`)."""
+    n_slices = jax.process_count()
+    per_slice = jax.local_device_count()
+    if n_slices <= 1:
+        return make_mesh(sp=sp)
+    if per_slice % sp:
+        raise ValueError(f"{per_slice} local devices not divisible by sp={sp}")
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(per_slice // sp, sp),
+        dcn_mesh_shape=(n_slices, 1),
+    )
+    return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS))
+
+
 def batch_spec(mesh: Mesh, ndim: int, *, spatial_axis_index: int = 2) -> P:
     """PartitionSpec for a channels-last batch ``(B, X, Y, Z, C)``:
     batch over ``data``, one spatial dim over ``sp`` (if sp > 1)."""

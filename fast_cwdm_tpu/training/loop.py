@@ -197,7 +197,6 @@ class TrainLoop:
         t_data = t_step = t_log = t_save = 0.0
         last_metrics = None
         step = self.resume_step
-        window_losses: list[float] = []
 
         while not self.lr_anneal_steps or step < self.lr_anneal_steps:
             t0 = time.time()
@@ -220,7 +219,6 @@ class TrainLoop:
             if step % self.log_interval == 0:
                 m = jax.device_get(last_metrics)
                 loss = float(m["loss"])
-                window_losses.append(loss)
                 if not np.isfinite(loss):
                     # failure detection (`train_util.py:377-383` warns or
                     # breakpoints; here: warn, or raise under
