@@ -81,3 +81,34 @@ def test_unconsumed_key_raises(golden):
     extra["bogus.weight"] = np.zeros(3, np.float32)
     with pytest.raises(KeyError):
         torch_to_flax(extra, m)
+
+
+def test_convert_checkpoint_cli_roundtrip(golden, tmp_path):
+    """`.pt` → `.ckpt` → `.pt` through the conversion CLI preserves every
+    tensor bit-exactly."""
+    import torch
+
+    from fast_cwdm_tpu.cli import convert_checkpoint
+
+    _, sd = golden
+    src_pt = str(tmp_path / "ref.pt")
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, src_pt)
+
+    tiny_flags = [
+        "--image_size=16", "--num_channels=16", "--num_res_blocks=1",
+        "--channel_mult=1,2", "--attention_resolutions=8",
+        "--in_channels=8", "--out_channels=8", "--num_groups=8",
+        "--bottleneck_attention=True", "--resample_2d=False",
+    ]
+    ck = str(tmp_path / "x.ckpt")
+    convert_checkpoint.main(
+        [f"--src={src_pt}", f"--dst={ck}"] + tiny_flags
+    )
+    out_pt = str(tmp_path / "back.pt")
+    convert_checkpoint.main(
+        [f"--src={ck}", f"--dst={out_pt}"] + tiny_flags
+    )
+    back = torch.load(out_pt, weights_only=True)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k].numpy(), sd[k])
