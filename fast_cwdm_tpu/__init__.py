@@ -17,3 +17,21 @@ reference repo.
 """
 
 __version__ = "0.1.0"
+
+from fast_cwdm_tpu import diffusion, ops  # noqa: E402,F401
+from fast_cwdm_tpu.diffusion import (  # noqa: E402,F401
+    GaussianDiffusion,
+    SpacedDiffusion,
+    create_spaced_diffusion,
+    get_named_beta_schedule,
+    space_timesteps,
+)
+from fast_cwdm_tpu.ops import (  # noqa: E402,F401
+    dwt3,
+    dwt3_flat,
+    dwt_normalized,
+    haar_clamp_project,
+    idwt3,
+    idwt3_flat,
+    idwt_normalized,
+)
