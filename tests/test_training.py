@@ -187,3 +187,41 @@ class TestTrainLoop:
         state = loop.run_loop()
         assert int(state.step) == 2
         assert find_best_checkpoint(str(tmp_path), "t1n") is not None
+
+
+class TestLossAwareTraining:
+    def test_loss_aware_sampler_state_updates(self, setup):
+        from fast_cwdm_tpu.diffusion.resample import LossSecondMomentResampler
+
+        model, diffusion, batch, params = setup
+        sampler = LossSecondMomentResampler(
+            diffusion.num_timesteps, history_per_term=3
+        )
+        tx = make_optimizer(1e-4)
+        state = TrainState.create(
+            params, tx, sampler_state=sampler.init_state()
+        )
+        step = make_train_step(
+            model, diffusion, tx, contr="t1n", mode="i2i", sampler=sampler
+        )
+        key = jax.random.PRNGKey(0)
+        for i in range(3):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+        counts = np.asarray(state.sampler_state.loss_counts)
+        assert counts.sum() == 3 * 2  # batch 2 examples per step
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestOrbaxBackend:
+    def test_roundtrip(self, tmp_path, setup):
+        from fast_cwdm_tpu.training import orbax_io
+
+        if not orbax_io.available():
+            pytest.skip("orbax not installed")
+        _, _, _, params = setup
+        p = str(tmp_path / "orbax_ckpt")
+        orbax_io.save(p, {"params": params})
+        out = orbax_io.load(p, {"params": params})
+        for a, b in zip(jax.tree.leaves(out), jax.tree.leaves({"params": params})):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
