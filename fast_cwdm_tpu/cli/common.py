@@ -8,7 +8,7 @@ removes).
 from __future__ import annotations
 
 import os
-from typing import Sequence
+
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ import argparse
 
 def main(argv=None) -> None:
     from fast_cwdm_tpu.cli import common
-    from fast_cwdm_tpu.models import model_and_diffusion_defaults
     from fast_cwdm_tpu.training import bridge, checkpoints
 
     p = argparse.ArgumentParser()

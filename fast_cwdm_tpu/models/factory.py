@@ -20,12 +20,7 @@ from ast import literal_eval
 from typing import Any
 
 from fast_cwdm_tpu.diffusion import schedules
-from fast_cwdm_tpu.diffusion.gaussian import (
-    GaussianDiffusion,
-    LossType,
-    MeanType,
-    VarType,
-)
+from fast_cwdm_tpu.diffusion.gaussian import LossType, MeanType, VarType
 from fast_cwdm_tpu.diffusion.respace import (
     create_spaced_diffusion,
     space_timesteps,

@@ -17,7 +17,7 @@ The reference manages an explicit process group (NCCL/Gloo backend pick at
 
 from __future__ import annotations
 
-import math
+
 
 import jax
 import numpy as np

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import jax
+
 import numpy as np
 
 from fast_cwdm_tpu.models.unet import UNetModel
