@@ -57,7 +57,6 @@ def main(argv=None) -> None:
     from fast_cwdm_tpu.data import (
         Nifti1Image,
         nifti,
-        preprocess_volume,
         save,
         unprocess_volume,
     )
@@ -118,11 +117,40 @@ def main(argv=None) -> None:
     print(f"[complete] {len(case_dirs)} cases")
     ok = failed = 0
 
-    for case_dir in case_dirs:
+    def load_case(case_dir: str):
+        """Host-side work for one case (runs on a prefetch thread so NIfTI
+        decode overlaps the previous case's device sampling — the
+        double-buffered pipeline from PERF.md; the reference loads
+        serially inline, `complete_dataset.py:370-437`)."""
+        missing = find_missing_modality(case_dir)
+        avail: dict[str, np.ndarray] = {}
+        src_img = None
+        if missing is not None:
+            from fast_cwdm_tpu.data.brats import load_preprocessed
+
+            for f in sorted(os.listdir(case_dir)):
+                for m in MODALITIES:
+                    if f"-{m}." in f and m != missing:
+                        path = os.path.join(case_dir, f)
+                        avail[m] = load_preprocessed(path)[None]
+                        if src_img is None:
+                            src_img = nifti.load(path)
+        return missing, avail, src_img
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    futures = {d: pool.submit(load_case, d) for d in case_dirs[:2]}
+
+    for idx, case_dir in enumerate(case_dirs):
         case = os.path.basename(case_dir)
+        # keep two cases in flight
+        if idx + 2 < len(case_dirs):
+            nxt = case_dirs[idx + 2]
+            futures[nxt] = pool.submit(load_case, nxt)
         try:
             t0 = time.time()
-            missing = find_missing_modality(case_dir)
+            missing, avail, src_img = futures.pop(case_dir).result()
             out_case = os.path.join(args.output_dir, case)
             pathlib.Path(out_case).mkdir(parents=True, exist_ok=True)
             # copy existing files through (`complete_dataset.py:352-367`)
@@ -133,16 +161,6 @@ def main(argv=None) -> None:
             if missing is None:
                 ok += 1
                 continue
-
-            avail: dict[str, np.ndarray] = {}
-            src_img = None
-            for f in sorted(os.listdir(case_dir)):
-                for m in MODALITIES:
-                    if f"-{m}." in f and m != missing:
-                        img = nifti.load(os.path.join(case_dir, f))
-                        avail[m] = preprocess_volume(img.get_fdata())[None]
-                        if src_img is None:
-                            src_img = img
             synth = get_synth(missing)
             cond = common.prepare_condition(avail, missing)
             mask_vol = avail[condition_order(missing)[0]]
@@ -168,6 +186,7 @@ def main(argv=None) -> None:
             print(f"[complete] FAILED {case}: {e}")
             failed += 1
 
+    pool.shutdown(wait=False)
     print(f"[complete] done: {ok} ok, {failed} failed")
 
 

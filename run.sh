@@ -53,8 +53,11 @@ COMMON="--dims=3 --num_groups=32 --num_channels=64 --num_res_blocks=2
   --use_scale_shift_norm=False --additive_skips=False
   --diffusion_steps=$TIMESTEPS --sample_schedule=$SAMPLING_STRATEGY
   --noise_schedule=linear --mode=i2i --dataset=brats"
-TRAIN="--data_dir=$DATA_DIR --lr=1e-5 --batch_size=2 --log_interval=100
-  --save_interval=50 --lr_anneal_steps=5000 --checkpoint_dir=$CHECKPOINT_DIR"
+# use_checkpoint (remat) is required for the production backward pass to
+# fit/compile on a single v5e chip (see PERF.md)
+TRAIN="--data_dir=$DATA_DIR --lr=1e-5 --batch_size=1 --log_interval=100
+  --save_interval=50 --lr_anneal_steps=5000 --use_checkpoint=True
+  --checkpoint_dir=$CHECKPOINT_DIR"
 SAMPLE="--data_dir=$VAL_DIR --output_dir=$OUTPUT_DIR --seed=$SEED"
 
 train_one() {
