@@ -265,3 +265,53 @@ def test_fixed_small_and_epsilon_paths():
     np.testing.assert_allclose(
         np.asarray(out["pred_xstart"]), np.asarray(expected_x0), atol=1e-5
     )
+
+
+class TestReferenceGoldenTables:
+    """Pinned against tables produced by executing the reference
+    implementation (`gaussian_diffusion.py:30-205`) once — see
+    tests/golden/schedule_tables_torch.npz."""
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        import os
+
+        path = os.path.join(
+            os.path.dirname(__file__), "golden", "schedule_tables_torch.npz"
+        )
+        return np.load(path)
+
+    @pytest.mark.parametrize("steps", [10, 100, 1000])
+    def test_schedules_bit_exact(self, golden, steps):
+        from fast_cwdm_tpu.diffusion import schedules as S
+
+        np.testing.assert_array_equal(
+            S.get_named_beta_schedule("linear", steps, "direct"),
+            golden[f"direct_{steps}"],
+        )
+        np.testing.assert_array_equal(
+            S.get_named_beta_schedule("linear", steps, "sampled"),
+            golden[f"sampled_{steps}"],
+        )
+
+    def test_cosine_bit_exact(self, golden):
+        from fast_cwdm_tpu.diffusion import schedules as S
+
+        np.testing.assert_array_equal(
+            S.get_named_beta_schedule("cosine", 50), golden["cosine_50"]
+        )
+
+    def test_coefficient_tables_f32_exact(self, golden):
+        from fast_cwdm_tpu.diffusion.gaussian import GaussianDiffusion
+
+        d = GaussianDiffusion.named("linear", 10, "sampled")
+        for attr in [
+            "sqrt_alphas_cumprod", "sqrt_one_minus_alphas_cumprod",
+            "sqrt_recip_alphas_cumprod", "sqrt_recipm1_alphas_cumprod",
+            "posterior_mean_coef1", "posterior_mean_coef2",
+            "posterior_variance", "posterior_log_variance_clipped",
+            "alphas_cumprod", "alphas_cumprod_prev",
+        ]:
+            ref = golden[f"tab_sampled10_{attr}"].astype(np.float32)
+            ours = np.asarray(getattr(d, attr))
+            np.testing.assert_allclose(ours, ref, rtol=3e-7, atol=1e-9)
