@@ -1,0 +1,175 @@
+"""Pallas fused prologue+conv3d kernel (experimental, PERF.md roadmap #1).
+
+XLA:TPU never fuses producers into convolutions, so every ResBlock pays two
+full HBM round-trips materializing `silu(groupnorm(x))` before each 3³ conv
+(the dominant cost at level-0 resolution — see PERF.md trace). This kernel
+computes
+
+    y = conv3d( silu( (x - mean_c) * inv_c * scale_c + bias_c ), w ) + b
+
+in ONE pass over the input: the normalize+SiLU happens in VMEM on the way
+into 27 shifted (Y·Z, Cin)×(Cin, Cout) MXU matmuls.
+
+Structure: grid over X; each program receives the (i-1, i, i+1) input
+slices via three BlockSpecs with shifted/clamped index maps (out-of-range
+neighbours are gated off with `pl.when`), zero-pads Y/Z in VMEM, and
+accumulates the 27 taps into an f32 scratch.
+
+GroupNorm statistics are computed OUTSIDE (a cheap reduction pass) and
+passed per-channel — only the expensive apply+activation pass is fused.
+Stride 1, kernel 3, SAME padding (the shape used by every ResBlock conv,
+`unet.py:228-311`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+
+
+def _kernel(x_prev, x_cur, x_next, w_ref, b_ref, mean_ref, inv_ref,
+            scale_ref, bias_ref, out_ref, acc_ref, *, apply_prologue):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    Y, Z = x_cur.shape[1], x_cur.shape[2]
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def tap(ref, dx):
+        act = ref[0]
+        if apply_prologue:
+            xn = (act.astype(_F32) - mean_ref[0]) * inv_ref[0]
+            xn = xn * scale_ref[0] + bias_ref[0]
+            act = (xn * jax.nn.sigmoid(xn)).astype(act.dtype)  # SiLU
+        padded = jnp.pad(act, ((1, 1), (1, 1), (0, 0)))
+        for dy in range(3):
+            for dz in range(3):
+                sl = padded[dy : dy + Y, dz : dz + Z, :]
+                acc_ref[:] += jax.lax.dot_general(
+                    sl,
+                    w_ref[dx, dy, dz],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=_F32,
+                )
+
+    @pl.when(i > 0)
+    def _():
+        tap(x_prev, 0)
+
+    tap(x_cur, 1)
+
+    @pl.when(i < n - 1)
+    def _():
+        tap(x_next, 2)
+
+    out_ref[0] = (acc_ref[:] + b_ref[0].astype(_F32)).astype(out_ref.dtype)
+
+
+def _conv3d_single(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    mean: jax.Array,
+    inv: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    apply_prologue: bool,
+    interpret: bool = False,
+) -> jax.Array:
+    X, Y, Z, C = x.shape
+    Co = w.shape[-1]
+    vec = lambda v: v.reshape(1, -1)  # noqa: E731
+
+    kern = functools.partial(_kernel, apply_prologue=apply_prologue)
+    return pl.pallas_call(
+        kern,
+        grid=(X,),
+        in_specs=[
+            pl.BlockSpec((1, Y, Z, C),
+                         lambda i: (jnp.maximum(i - 1, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Y, Z, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Y, Z, C),
+                         lambda i: (jnp.minimum(i + 1, X - 1), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, 3, C, Co), lambda i: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Y, Z, Co), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z, Co), x.dtype),
+        scratch_shapes=[pltpu.VMEM((Y, Z, Co), _F32)],
+        interpret=interpret,
+    )(x, x, x, w, b.reshape(1, -1), vec(mean), vec(inv), vec(scale), vec(bias))
+
+
+def conv3d_fused(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    *,
+    gn: tuple[jax.Array, jax.Array, jax.Array, jax.Array] | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused [GN-apply+SiLU] + 3³ SAME conv.
+
+    ``x``: (..., X, Y, Z, Cin); ``w``: (3,3,3,Cin,Cout); ``b``: (Cout,).
+    ``gn``: optional per-channel (mean, inv_std, scale, bias), each (Cin,)
+    or broadcastable per-batch (B, Cin) — pass None for a plain conv.
+    Leading batch dims are vmapped.
+    """
+    C = x.shape[-1]
+    if gn is None:
+        z = jnp.zeros((C,), x.dtype)
+        o = jnp.ones((C,), x.dtype)
+        mean, inv, scale, bias = z, o, o, z
+        apply_prologue = False
+    else:
+        mean, inv, scale, bias = (a.astype(_F32) for a in gn)
+        apply_prologue = True
+
+    fn = functools.partial(
+        _conv3d_single, apply_prologue=apply_prologue, interpret=interpret
+    )
+    if x.ndim == 4:
+        return fn(x, w, b, mean, inv, scale, bias)
+    assert x.ndim == 5
+    if apply_prologue and mean.ndim == 2:
+        return jax.vmap(
+            lambda xi, mi, vi: fn(xi, w, b, mi, vi, scale, bias)
+        )(x, mean, inv)
+    return jax.vmap(lambda xi: fn(xi, w, b, mean, inv, scale, bias))(x)
+
+
+def group_stats(x: jax.Array, num_groups: int):
+    """Per-(batch, channel) GroupNorm mean/inv-std, expanded to channel
+    vectors (the cheap reduction pass that stays outside the kernel)."""
+    *lead, C = x.shape
+    b = x.shape[0]
+    g = num_groups
+    xf = x.astype(_F32).reshape(b, -1, g, C // g)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    expand = lambda a: jnp.broadcast_to(  # noqa: E731
+        a, (b, 1, g, C // g)
+    ).reshape(b, C)
+    return expand(mean), expand(inv)

@@ -1,0 +1,82 @@
+"""Fused prologue+conv3d Pallas kernel parity (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_cwdm_tpu.ops.conv3d_pallas import conv3d_fused, group_stats
+
+INTERP = jax.default_backend() != "tpu"
+
+
+def _xla_conv(x, w, b):
+    return (
+        jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        + b
+    )
+
+
+@pytest.fixture(scope="module")
+def data():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 6, 8, 8, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 8, 16)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(2), (16,)) * 0.1
+    return x, w, b
+
+
+def test_plain_conv_matches_xla(data):
+    x, w, b = data
+    np.testing.assert_allclose(
+        np.asarray(conv3d_fused(x, w, b, interpret=INTERP)),
+        np.asarray(_xla_conv(x, w, b)),
+        atol=1e-5,
+    )
+
+
+def test_fused_gn_silu_conv_matches_chain(data):
+    x, w, b = data
+    g = 4
+    scale = jax.random.normal(jax.random.PRNGKey(3), (8,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(4), (8,)) * 0.1
+    mean, inv = group_stats(x, g)
+    xn = (x - mean[:, None, None, None, :]) * inv[:, None, None, None, :]
+    act = xn * scale + bias
+    act = act * jax.nn.sigmoid(act)
+    ref = _xla_conv(act, w, b)
+    ours = conv3d_fused(
+        x, w, b, gn=(mean, inv, scale, bias), interpret=INTERP
+    )
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_group_stats_match_groupnorm(data):
+    x, _, _ = data
+    g = 4
+    mean, inv = group_stats(x, g)
+    # reference: plain per-group statistics
+    xf = np.asarray(x, np.float64)
+    b, X, Y, Z, C = xf.shape
+    xg = xf.reshape(b, -1, g, C // g)
+    m = xg.mean(axis=(1, 3))
+    v = xg.var(axis=(1, 3))
+    m_c = np.repeat(m, C // g, axis=1)
+    inv_c = 1.0 / np.sqrt(np.repeat(v, C // g, axis=1) + 1e-5)
+    np.testing.assert_allclose(np.asarray(mean), m_c, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(inv), inv_c, rtol=1e-4)
+
+
+def test_single_x_slice():
+    """X=1 volume: both neighbour taps are gated off."""
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 8, 8, 4))
+    w = jax.random.normal(jax.random.PRNGKey(6), (3, 3, 3, 4, 4)) * 0.1
+    b = jnp.zeros((4,))
+    np.testing.assert_allclose(
+        np.asarray(conv3d_fused(x, w, b, interpret=INTERP)),
+        np.asarray(_xla_conv(x, w, b)),
+        atol=1e-5,
+    )
