@@ -34,10 +34,12 @@ _F32 = jnp.float32
 
 
 def _kernel(x_prev, x_cur, x_next, w_ref, b_ref, mean_ref, inv_ref,
-            scale_ref, bias_ref, out_ref, acc_ref, *, apply_prologue):
+            scale_ref, bias_ref, out_ref, acc_ref, im_ref, *,
+            apply_prologue, fold_taps):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     Y, Z = x_cur.shape[1], x_cur.shape[2]
+    C = x_cur.shape[3]
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
@@ -48,15 +50,34 @@ def _kernel(x_prev, x_cur, x_next, w_ref, b_ref, mean_ref, inv_ref,
             xn = xn * scale_ref[0] + bias_ref[0]
             act = (xn * jax.nn.sigmoid(xn)).astype(act.dtype)  # SiLU
         padded = jnp.pad(act, ((1, 1), (1, 1), (0, 0)))
-        for dy in range(3):
-            for dz in range(3):
-                sl = padded[dy : dy + Y, dz : dz + Z, :]
-                acc_ref[:] += jax.lax.dot_general(
-                    sl,
-                    w_ref[dx, dy, dz],
-                    (((2,), (0,)), ((), ())),
-                    preferred_element_type=_F32,
-                )
+        if fold_taps:
+            # fold the 9 (dy,dz) taps into ONE K=9·C matmul — K=64 alone
+            # fills half an MXU tile; K=576 keeps the systolic array busy.
+            # Staged through a VMEM scratch (Mosaic cannot concat shifted
+            # slices directly: "offset mismatch on non-concat dimension").
+            k = 0
+            for dy in range(3):
+                for dz in range(3):
+                    im_ref[:, :, k * C : (k + 1) * C] = padded[
+                        dy : dy + Y, dz : dz + Z, :
+                    ]
+                    k += 1
+            acc_ref[:] += jax.lax.dot_general(
+                im_ref[:],
+                w_ref[dx].reshape(9 * C, -1),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+            )
+        else:
+            for dy in range(3):
+                for dz in range(3):
+                    sl = padded[dy : dy + Y, dz : dz + Z, :]
+                    acc_ref[:] += jax.lax.dot_general(
+                        sl,
+                        w_ref[dx, dy, dz],
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=_F32,
+                    )
 
     @pl.when(i > 0)
     def _():
@@ -81,13 +102,16 @@ def _conv3d_single(
     bias: jax.Array,
     *,
     apply_prologue: bool,
+    fold_taps: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     X, Y, Z, C = x.shape
     Co = w.shape[-1]
     vec = lambda v: v.reshape(1, -1)  # noqa: E731
 
-    kern = functools.partial(_kernel, apply_prologue=apply_prologue)
+    kern = functools.partial(
+        _kernel, apply_prologue=apply_prologue, fold_taps=fold_taps
+    )
     return pl.pallas_call(
         kern,
         grid=(X,),
@@ -116,7 +140,13 @@ def _conv3d_single(
         out_specs=pl.BlockSpec((1, Y, Z, Co), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((X, Y, Z, Co), x.dtype),
-        scratch_shapes=[pltpu.VMEM((Y, Z, Co), _F32)],
+        scratch_shapes=[
+            pltpu.VMEM((Y, Z, Co), _F32),
+            pltpu.VMEM((Y, Z, 9 * C), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x, x, x, w, b.reshape(1, -1), vec(mean), vec(inv), vec(scale), vec(bias))
 
@@ -127,6 +157,7 @@ def conv3d_fused(
     b: jax.Array,
     *,
     gn: tuple[jax.Array, jax.Array, jax.Array, jax.Array] | None = None,
+    fold_taps: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused [GN-apply+SiLU] + 3³ SAME conv.
@@ -147,7 +178,10 @@ def conv3d_fused(
         apply_prologue = True
 
     fn = functools.partial(
-        _conv3d_single, apply_prologue=apply_prologue, interpret=interpret
+        _conv3d_single,
+        apply_prologue=apply_prologue,
+        fold_taps=fold_taps,
+        interpret=interpret,
     )
     if x.ndim == 4:
         return fn(x, w, b, mean, inv, scale, bias)

@@ -29,10 +29,11 @@ def data():
     return x, w, b
 
 
-def test_plain_conv_matches_xla(data):
+@pytest.mark.parametrize("fold", [True, False])
+def test_plain_conv_matches_xla(data, fold):
     x, w, b = data
     np.testing.assert_allclose(
-        np.asarray(conv3d_fused(x, w, b, interpret=INTERP)),
+        np.asarray(conv3d_fused(x, w, b, fold_taps=fold, interpret=INTERP)),
         np.asarray(_xla_conv(x, w, b)),
         atol=1e-5,
     )
