@@ -151,6 +151,106 @@ def _conv3d_single(
     )(x, x, x, w, b.reshape(1, -1), vec(mean), vec(inv), vec(scale), vec(bias))
 
 
+def _blocked_kernel(prev_ref, cur_ref, next_ref, w_ref, b_ref, mean_ref,
+                    inv_ref, scale_ref, bias_ref, out_ref, acc_ref, im_ref,
+                    ext_ref, *, apply_prologue, tx):
+    """Row-slab variant: each program owns TX output rows; the halo rows
+    come in as single-row blocks, so HBM input traffic is (TX+2)/TX× the
+    volume instead of the naive 3× of the one-row-per-program scheme."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    _, Y, Z, C = cur_ref.shape
+
+    def pro(act):
+        if not apply_prologue:
+            return act
+        xn = (act.astype(_F32) - mean_ref[0]) * inv_ref[0]
+        xn = xn * scale_ref[0] + bias_ref[0]
+        return (xn * jax.nn.sigmoid(xn)).astype(act.dtype)
+
+    # extended slab: ext[0] = last row of the previous block (zero at the
+    # volume edge — conv zero padding), ext[1:tx+1] = this block,
+    # ext[tx+1] = first row of the next block
+    first = pro(prev_ref[0])
+    ext_ref[0] = jnp.where(i > 0, first, jnp.zeros_like(first))
+    for j in range(tx):
+        ext_ref[j + 1] = pro(cur_ref[j])
+    last = pro(next_ref[0])
+    ext_ref[tx + 1] = jnp.where(i < n - 1, last, jnp.zeros_like(last))
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    w_flat = [w_ref[d].reshape(9 * C, -1) for d in range(3)]
+    for r in range(tx + 2):
+        # stage the 9 (dy,dz)-shifted copies of ext row r once
+        padded = jnp.pad(ext_ref[r], ((1, 1), (1, 1), (0, 0)))
+        k = 0
+        for dy in range(3):
+            for dz in range(3):
+                im_ref[:, :, k * C : (k + 1) * C] = padded[
+                    dy : dy + Y, dz : dz + Z, :
+                ]
+                k += 1
+        im = im_ref[:]
+        # ext row r feeds output rows j = r - d (input row j+d-1 = r-1)
+        for d in range(3):
+            j = r - d
+            if 0 <= j < tx:
+                acc_ref[j] += jax.lax.dot_general(
+                    im,
+                    w_flat[d],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=_F32,
+                )
+    out_ref[:] = (acc_ref[:] + b_ref[0].astype(_F32)).astype(out_ref.dtype)
+
+
+def _conv3d_blocked(
+    x, w, b, mean, inv, scale, bias, *, apply_prologue, tx=8,
+    interpret=False,
+):
+    X, Y, Z, C = x.shape
+    Co = w.shape[-1]
+    assert X % tx == 0, f"X={X} not divisible by block {tx}"
+    vec = lambda v: v.reshape(1, -1)  # noqa: E731
+    kern = functools.partial(
+        _blocked_kernel, apply_prologue=apply_prologue, tx=tx
+    )
+    nb = X // tx
+    return pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, Y, Z, C),
+                         lambda i: (jnp.maximum(i * tx - 1, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, Y, Z, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Y, Z, C),
+                         lambda i: (jnp.minimum(i * tx + tx, X - 1), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, 3, C, Co), lambda i: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tx, Y, Z, Co), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z, Co), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tx, Y, Z, Co), _F32),
+            pltpu.VMEM((Y, Z, 9 * C), x.dtype),
+            pltpu.VMEM((tx + 2, Y, Z, C), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, x, x, w, b.reshape(1, -1), vec(mean), vec(inv), vec(scale), vec(bias))
+
+
 def conv3d_fused(
     x: jax.Array,
     w: jax.Array,
@@ -158,6 +258,7 @@ def conv3d_fused(
     *,
     gn: tuple[jax.Array, jax.Array, jax.Array, jax.Array] | None = None,
     fold_taps: bool = True,
+    block_x: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused [GN-apply+SiLU] + 3³ SAME conv.
@@ -177,12 +278,20 @@ def conv3d_fused(
         mean, inv, scale, bias = (a.astype(_F32) for a in gn)
         apply_prologue = True
 
-    fn = functools.partial(
-        _conv3d_single,
-        apply_prologue=apply_prologue,
-        fold_taps=fold_taps,
-        interpret=interpret,
-    )
+    if block_x:
+        fn = functools.partial(
+            _conv3d_blocked,
+            apply_prologue=apply_prologue,
+            tx=block_x,
+            interpret=interpret,
+        )
+    else:
+        fn = functools.partial(
+            _conv3d_single,
+            apply_prologue=apply_prologue,
+            fold_taps=fold_taps,
+            interpret=interpret,
+        )
     if x.ndim == 4:
         return fn(x, w, b, mean, inv, scale, bias)
     assert x.ndim == 5

@@ -81,3 +81,30 @@ def test_single_x_slice():
         np.asarray(_xla_conv(x, w, b)),
         atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("tx", [2, 4])
+def test_blocked_plain_conv(data, tx):
+    x, w, b = data
+    x8 = x[:, :4]  # X=4 divisible by tx in {2,4}
+    np.testing.assert_allclose(
+        np.asarray(conv3d_fused(x8, w, b, block_x=tx, interpret=INTERP)),
+        np.asarray(_xla_conv(x8, w, b)),
+        atol=1e-5,
+    )
+
+
+def test_blocked_fused_gn(data):
+    x, w, b = data
+    x8 = x[:, :4]
+    scale = jnp.ones((8,)) * 1.1
+    bias = jnp.zeros((8,)) + 0.05
+    mean, inv = group_stats(x8, 4)
+    xn = (x8 - mean[:, None, None, None, :]) * inv[:, None, None, None, :]
+    act = xn * scale + bias
+    act = act * jax.nn.sigmoid(act)
+    ref = _xla_conv(act, w, b)
+    ours = conv3d_fused(
+        x8, w, b, gn=(mean, inv, scale, bias), block_x=2, interpret=INTERP
+    )
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
