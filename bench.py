@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(steps: int, dtype):
+def build(steps: int, dtype, fused: bool = False):
     from fast_cwdm_tpu.diffusion.gaussian import GaussianDiffusion
     from fast_cwdm_tpu.models import UNetModel
 
@@ -50,6 +50,7 @@ def build(steps: int, dtype):
         resblock_updown=True,
         bottleneck_attention=False,
         resample_2d=False,
+        fuse_conv=fused,
         dtype=dtype,
     )
     diffusion = GaussianDiffusion.named(
@@ -66,11 +67,13 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--fused", action="store_true",
+                    help="route ResBlock GN+SiLU+conv through the fused Pallas kernel")
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model, diffusion = build(args.steps, dtype)
+    model, diffusion = build(args.steps, dtype, fused=args.fused)
 
     b = args.batch
     sx, sy, sz = args.spatial
@@ -142,6 +145,7 @@ def main():
             "steps": args.steps,
             "latent": list(lat),
             "dtype": args.dtype,
+            "fused_conv": args.fused,
             "fused_s_per_volume": round(fused_s / b, 3),
             "refstyle_s_per_volume": (
                 round(refstyle_s / b, 3) if refstyle_s else None

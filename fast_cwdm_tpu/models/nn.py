@@ -44,18 +44,29 @@ def mean_flat(x: jax.Array) -> jax.Array:
 
 class GroupNorm32(nn.Module):
     """GroupNorm with statistics in float32 (`nn.py:17-19`), cast back to
-    the input dtype. Operates on the last (channel) axis."""
+    the input dtype. Operates on the last (channel) axis.
+
+    Owns its scale/bias directly (params at ``<name>/{scale,bias}``) so the
+    fused Pallas conv path can consume them without re-applying the module.
+    """
 
     num_groups: int = 32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        y = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+    def __call__(self, x: jax.Array, *, params_only: bool = False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if params_only:
+            return scale, bias
+        g = self.num_groups
+        xf = x.astype(jnp.float32)
+        xg = xf.reshape(*x.shape[:-1], g, c // g)
+        axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mean = xg.mean(axis=axes, keepdims=True)
+        var = ((xg - mean) ** 2).mean(axis=axes, keepdims=True)
+        y = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
+        y = y.reshape(x.shape) * scale + bias
         return y.astype(x.dtype)
 
 

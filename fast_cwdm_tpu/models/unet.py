@@ -162,6 +162,63 @@ class WaveletGatingUpsample(nn.Module):
         return wv.idwt3(bands, self.wavelet)
 
 
+class FusableConv3d(nn.Module):
+    """3³ SAME-padding conv with params mirroring ``nn.Conv``
+    (``kernel`` DHWIO + ``bias``), plus an optional GN-apply+SiLU prologue
+    executed inside the Pallas fused kernel (`ops/conv3d_pallas.py`) when
+    running on TPU — the round-trip-free ResBlock path (PERF.md)."""
+
+    features: int
+    zero_init: bool = False
+    dtype: jnp.dtype | None = None
+    block_x: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, gn=None) -> jax.Array:
+        c = x.shape[-1]
+        init = (
+            nn.initializers.zeros
+            if self.zero_init
+            else nn.initializers.lecun_normal()
+        )
+        kernel = self.param(
+            "kernel", init, (3, 3, 3, c, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        dtype = self.dtype or x.dtype
+        xx = x.astype(dtype)
+        k = kernel.astype(dtype)
+        b = bias.astype(dtype)
+
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        use_fused = (
+            gn is not None
+            and on_tpu
+            and x.ndim == 5
+            and x.shape[1] % self.block_x == 0
+        )
+        if use_fused:
+            from fast_cwdm_tpu.ops.conv3d_pallas import conv3d_fused
+
+            return conv3d_fused(xx, k, b, gn=gn, block_x=self.block_x)
+        if gn is not None:  # fallback: apply the prologue in XLA
+            mean, inv, gscale, gbias = gn
+            bc = (slice(None),) + (None,) * 3 + (slice(None),)
+            xn = (xx.astype(jnp.float32) - mean[bc]) * inv[bc]
+            xn = xn * gscale + gbias
+            xx = (xn * jax.nn.sigmoid(xn)).astype(dtype)
+        out = jax.lax.conv_general_dilated(
+            xx, k, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return out + b
+
+
 class ResBlock(nn.Module):
     """Residual block with timestep conditioning (`unet.py:185-311`).
 
@@ -169,6 +226,10 @@ class ResBlock(nn.Module):
     conv, 1×1 (or 3×3 if ``use_conv``) channel-matching skip. ``up``/``down``
     apply the resample to both the hidden and the skip branch between the
     first norm-act and its conv (`unet.py:285-293`).
+
+    ``fuse_conv=True`` (inference-only) routes both GN→SiLU→conv chains
+    through the fused Pallas kernel — same parameters, same math, one HBM
+    pass instead of three.
     """
 
     channels: int
@@ -182,22 +243,47 @@ class ResBlock(nn.Module):
     down: bool = False
     num_groups: int = 32
     resample_2d: bool = True
+    fuse_conv: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, train: bool = False):
         out_ch = self.out_channels or self.channels
+        fuse = (
+            self.fuse_conv
+            and self.dims == 3
+            and not (self.up or self.down)
+            and not self.use_scale_shift_norm
+            and self.dropout == 0
+        )
+        in_norm = GroupNorm32(self.num_groups, name="in_norm")
+        out_norm = GroupNorm32(self.num_groups, name="out_norm")
 
-        h = GroupNorm32(self.num_groups, name="in_norm")(x)
-        h = nn.silu(h)
-        if self.up:
-            h = nearest_upsample(h, self.dims, self.resample_2d)
-            x = nearest_upsample(x, self.dims, self.resample_2d)
-        elif self.down:
-            window = _down_window(self.dims, self.resample_2d)
-            h = avg_pool_nd(h, window)
-            x = avg_pool_nd(x, window)
-        h = conv_nd(out_ch, 3, dims=self.dims, dtype=self.dtype, name="in_conv")(h)
+        if fuse:
+            from fast_cwdm_tpu.ops.conv3d_pallas import group_stats
+
+            gscale, gbias = in_norm(x, params_only=True)
+            mean, inv = group_stats(x, self.num_groups)
+            h = FusableConv3d(out_ch, dtype=self.dtype, name="in_conv")(
+                x, gn=(mean, inv, gscale, gbias)
+            )
+        else:
+            h = in_norm(x)
+            h = nn.silu(h)
+            if self.up:
+                h = nearest_upsample(h, self.dims, self.resample_2d)
+                x = nearest_upsample(x, self.dims, self.resample_2d)
+            elif self.down:
+                window = _down_window(self.dims, self.resample_2d)
+                h = avg_pool_nd(h, window)
+                x = avg_pool_nd(x, window)
+            if self.dims == 3:
+                h = FusableConv3d(out_ch, dtype=self.dtype, name="in_conv")(h)
+            else:
+                h = conv_nd(
+                    out_ch, 3, dims=self.dims, dtype=self.dtype,
+                    name="in_conv",
+                )(h)
 
         emb_out = nn.Dense(
             2 * out_ch if self.use_scale_shift_norm else out_ch,
@@ -208,20 +294,35 @@ class ResBlock(nn.Module):
             emb_out.shape[0], *([1] * self.dims), emb_out.shape[-1]
         )
 
-        if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(self.num_groups, name="out_norm")(h)
-            h = h * (1 + scale) + shift
+        if fuse:
+            from fast_cwdm_tpu.ops.conv3d_pallas import group_stats
+
+            h2 = h + emb_out
+            gscale2, gbias2 = out_norm(h2, params_only=True)
+            mean2, inv2 = group_stats(h2, self.num_groups)
+            h = FusableConv3d(
+                out_ch, zero_init=True, dtype=self.dtype, name="out_conv"
+            )(h2, gn=(mean2, inv2, gscale2, gbias2))
         else:
-            h = h + emb_out
-            h = GroupNorm32(self.num_groups, name="out_norm")(h)
-        h = nn.silu(h)
-        if self.dropout > 0:
-            h = nn.Dropout(rate=self.dropout)(h, deterministic=not train)
-        h = conv_nd(
-            out_ch, 3, dims=self.dims, zero_init=True, dtype=self.dtype,
-            name="out_conv",
-        )(h)
+            if self.use_scale_shift_norm:
+                scale, shift = jnp.split(emb_out, 2, axis=-1)
+                h = out_norm(h)
+                h = h * (1 + scale) + shift
+            else:
+                h = h + emb_out
+                h = out_norm(h)
+            h = nn.silu(h)
+            if self.dropout > 0:
+                h = nn.Dropout(rate=self.dropout)(h, deterministic=not train)
+            if self.dims == 3:
+                h = FusableConv3d(
+                    out_ch, zero_init=True, dtype=self.dtype, name="out_conv"
+                )(h)
+            else:
+                h = conv_nd(
+                    out_ch, 3, dims=self.dims, zero_init=True,
+                    dtype=self.dtype, name="out_conv",
+                )(h)
 
         if out_ch == self.channels:
             skip = x
@@ -321,6 +422,7 @@ class UNetModel(nn.Module):
     bottleneck_attention: bool = True
     resample_2d: bool = True
     additive_skips: bool = False
+    fuse_conv: bool = False
     dtype: jnp.dtype | None = None
 
     def _resblock(self, **kw) -> ResBlock:
@@ -332,6 +434,7 @@ class UNetModel(nn.Module):
         kw.setdefault("use_scale_shift_norm", self.use_scale_shift_norm)
         kw.setdefault("num_groups", self.num_groups)
         kw.setdefault("resample_2d", self.resample_2d)
+        kw.setdefault("fuse_conv", self.fuse_conv)
         kw.setdefault("dtype", self.dtype)
         return cls(**kw)
 

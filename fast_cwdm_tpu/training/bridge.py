@@ -90,19 +90,19 @@ _KIND_LEAVES = {
     "conv": [("", "", "conv")],
     "linear": [("", "", "linear")],
     "embed": [("", "", "embed")],
-    "norm": [("", "GroupNorm_0", "norm")],
+    "norm": [("", "", "norm")],
     "downsample": [("op", "op", "conv")],
     "upsample": [("conv", "conv", "conv")],
     "res": [
-        ("in_layers.0", "in_norm/GroupNorm_0", "norm"),
+        ("in_layers.0", "in_norm", "norm"),
         ("in_layers.2", "in_conv", "conv"),
         ("emb_layers.1", "emb_proj", "linear"),
-        ("out_layers.0", "out_norm/GroupNorm_0", "norm"),
+        ("out_layers.0", "out_norm", "norm"),
         ("out_layers.3", "out_conv", "conv"),
         ("skip_connection", "skip", "conv_optional"),
     ],
     "attn": [
-        ("norm", "norm/GroupNorm_0", "norm"),
+        ("norm", "norm", "norm"),
         ("qkv", "qkv", "conv1d_dense"),
         ("proj_out", "proj_out", "conv1d_dense"),
     ],

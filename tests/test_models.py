@@ -256,3 +256,32 @@ class TestTimestepEmbedding:
         emb = timestep_embedding(jnp.array([3.0]), 7)
         assert emb.shape == (1, 7)
         assert float(emb[0, -1]) == 0.0
+
+
+class TestFusedConvPath:
+    def test_fused_matches_plain(self):
+        """fuse_conv routes GN→SiLU→conv through the fused path (Pallas on
+        TPU, XLA-fallback prologue on CPU) — numerics must match the plain
+        module chain."""
+        kw = dict(TINY, attention_resolutions=(), bottleneck_attention=False)
+        m0 = UNetModel(**kw)
+        m1 = UNetModel(fuse_conv=True, **kw)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 8, 32))
+        t = jnp.array([3], jnp.int32)
+        p = m0.init(jax.random.PRNGKey(1), x, t)["params"]
+        p = jax.tree.map(lambda a: a + 0.01, p)
+        y0 = m0.apply({"params": p}, x, t)
+        y1 = m1.apply({"params": p}, x, t)
+        np.testing.assert_allclose(
+            np.asarray(y0), np.asarray(y1), atol=2e-5
+        )
+
+    def test_param_trees_identical(self):
+        kw = dict(TINY, attention_resolutions=(), bottleneck_attention=False)
+        m0 = UNetModel(**kw)
+        m1 = UNetModel(fuse_conv=True, **kw)
+        x = jnp.zeros((1, 8, 8, 8, 32))
+        t = jnp.zeros((1,), jnp.int32)
+        p0 = m0.init(jax.random.PRNGKey(0), x, t)["params"]
+        p1 = m1.init(jax.random.PRNGKey(0), x, t)["params"]
+        assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
