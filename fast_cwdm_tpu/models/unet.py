@@ -171,7 +171,7 @@ class FusableConv3d(nn.Module):
     features: int
     zero_init: bool = False
     dtype: jnp.dtype | None = None
-    block_x: int = 4
+    block_x: int = 2
 
     @nn.compact
     def __call__(self, x: jax.Array, gn=None) -> jax.Array:
@@ -201,6 +201,9 @@ class FusableConv3d(nn.Module):
             and on_tpu
             and x.ndim == 5
             and x.shape[1] % self.block_x == 0
+            # wide decoder concat inputs (e.g. 192ch at full res) exceed
+            # v5e's 128 MB VMEM with the im2col scratch — fall back
+            and c <= 128
         )
         if use_fused:
             from fast_cwdm_tpu.ops.conv3d_pallas import conv3d_fused
