@@ -63,8 +63,11 @@ class GroupNorm32(nn.Module):
         xf = x.astype(jnp.float32)
         xg = xf.reshape(*x.shape[:-1], g, c // g)
         axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        # fast variance (E[x²] − E[x]²): ONE reduction pass over x instead
+        # of a second centered pass — matches flax GroupNorm's default
         mean = xg.mean(axis=axes, keepdims=True)
-        var = ((xg - mean) ** 2).mean(axis=axes, keepdims=True)
+        mean_sq = (xg * xg).mean(axis=axes, keepdims=True)
+        var = jnp.maximum(mean_sq - mean * mean, 0.0)
         y = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
         y = y.reshape(x.shape) * scale + bias
         return y.astype(x.dtype)

@@ -310,7 +310,8 @@ def group_stats(x: jax.Array, num_groups: int):
     g = num_groups
     xf = x.astype(_F32).reshape(b, -1, g, C // g)
     mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = ((xf - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    mean_sq = (xf * xf).mean(axis=(1, 3), keepdims=True)
+    var = jnp.maximum(mean_sq - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + 1e-5)
     expand = lambda a: jnp.broadcast_to(  # noqa: E731
         a, (b, 1, g, C // g)
