@@ -65,11 +65,16 @@ class GroupNorm32(nn.Module):
         axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
         # fast variance (E[x²] − E[x]²): ONE reduction pass over x instead
         # of a second centered pass — matches flax GroupNorm's default
-        mean = xg.mean(axis=axes, keepdims=True)
-        mean_sq = (xg * xg).mean(axis=axes, keepdims=True)
+        mean = xg.mean(axis=axes)  # (B, G)
+        mean_sq = (xg * xg).mean(axis=axes)
         var = jnp.maximum(mean_sq - mean * mean, 0.0)
-        y = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
-        y = y.reshape(x.shape) * scale + bias
+        inv = jax.lax.rsqrt(var + 1e-5)
+        # expand per-group stats to per-channel and apply on the FLAT
+        # tensor (stats are tiny; the apply pass fuses into neighbours)
+        expand = lambda a: jnp.repeat(  # noqa: E731
+            a, c // g, axis=-1
+        ).reshape((x.shape[0],) + (1,) * (x.ndim - 2) + (c,))
+        y = (xf - expand(mean)) * expand(inv) * scale + bias
         return y.astype(x.dtype)
 
 
