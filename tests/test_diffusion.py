@@ -315,3 +315,29 @@ class TestReferenceGoldenTables:
             ref = golden[f"tab_sampled10_{attr}"].astype(np.float32)
             ours = np.asarray(getattr(d, attr))
             np.testing.assert_allclose(ours, ref, rtol=3e-7, atol=1e-9)
+
+
+def test_spaced_diffusion_maps_timesteps_to_model():
+    """`_WrappedModel` semantics (`respace.py:112-132`): the model must see
+    ORIGINAL-schedule timesteps, not compact indices."""
+    from fast_cwdm_tpu.diffusion.respace import (
+        create_spaced_diffusion,
+        space_timesteps,
+    )
+    from fast_cwdm_tpu.diffusion.schedules import get_named_beta_schedule
+
+    betas = get_named_beta_schedule("linear", 100, "direct")
+    use = space_timesteps(100, "10")
+    sd = create_spaced_diffusion(use_timesteps=use, betas=betas)
+    assert sd.num_timesteps == 10
+    seen = []
+
+    def model_fn(x, t, **kw):
+        seen.append(np.asarray(t))
+        return 0.1 * x[..., :8]
+
+    x = jnp.ones((1, 4, 4, 4, 8))
+    sd.p_mean_variance(model_fn, x, jnp.array([7]))
+    mapped = int(seen[0][0])
+    expected = sorted(use)[7]
+    assert mapped == expected, (mapped, expected)
