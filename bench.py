@@ -29,6 +29,12 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+# persistent compile cache: repeat bench runs (e.g. the driver's) skip the
+# ~10-minute production-scan compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 import jax.numpy as jnp
 import numpy as np
 
