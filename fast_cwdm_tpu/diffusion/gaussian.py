@@ -377,6 +377,7 @@ class GaussianDiffusion:
         denoised_fn=None,
         model_kwargs=None,
         time: int | None = None,
+        chunk_size: int | None = None,
     ) -> jax.Array:
         """Full reverse chain as ONE `lax.scan` (vs the reference's Python
         loop over `p_sample`, `gaussian_diffusion.py:668-719`).
@@ -386,6 +387,12 @@ class GaussianDiffusion:
         into `p_sample_loop_progressive(time=...)` directly
         (`complete_dataset.py:270-278`) — ``time`` here defaults to
         ``self.num_timesteps``.
+
+        ``chunk_size``: run the chain as ⌈T/chunk⌉ separately-dispatched
+        scans of ``chunk_size`` steps (identical numerics). Use for very
+        long chains (e.g. the classic 1000-step schedule) where a single
+        monolithic device program is impractical; equal-size chunks share
+        one compilation.
         """
         t_total = self.num_timesteps if time is None else time
         key_init, key_loop = jax.random.split(key)
@@ -411,6 +418,18 @@ class GaussianDiffusion:
                 model_kwargs=model_kwargs,
             )
             return out["sample"], None
+
+        if chunk_size and chunk_size < t_total:
+            run_chunk = jax.jit(
+                lambda im, ts_c, keys_c: jax.lax.scan(
+                    step, im, (ts_c, keys_c)
+                )[0]
+            )
+            for s in range(0, t_total, chunk_size):
+                img = run_chunk(
+                    img, ts[s : s + chunk_size], keys[s : s + chunk_size]
+                )
+            return img
 
         final, _ = jax.lax.scan(step, img, (ts, keys))
         return final

@@ -341,3 +341,25 @@ def test_spaced_diffusion_maps_timesteps_to_model():
     mapped = int(seen[0][0])
     expected = sorted(use)[7]
     assert mapped == expected, (mapped, expected)
+
+
+def test_chunked_sampling_matches_monolithic():
+    """chunk_size splits the reverse chain into separate device programs
+    with IDENTICAL numerics (the long-chain workaround, PERF.md)."""
+    from fast_cwdm_tpu.diffusion.gaussian import GaussianDiffusion
+
+    d = GaussianDiffusion.named("linear", 12, "sampled")
+
+    def model_fn(x, t, **kw):
+        return 0.05 * x
+
+    shape = (1, 4, 4, 4, 8)
+    key = jax.random.PRNGKey(3)
+    noise = jax.random.normal(jax.random.PRNGKey(4), shape)
+    mono = d.p_sample_loop(model_fn, shape, key, noise=noise)
+    chunked = d.p_sample_loop(
+        model_fn, shape, key, noise=noise, chunk_size=5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mono), np.asarray(chunked), atol=1e-6
+    )
