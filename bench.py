@@ -75,6 +75,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--fused", action="store_true",
                     help="route ResBlock GN+SiLU+conv through the fused Pallas kernel")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="split the reverse chain into chunks of N steps "
+                         "(separate device programs; for very long schedules)")
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -95,14 +98,25 @@ def main():
     # params are jit ARGS (closure params would be embedded in the HLO —
     # hundreds of MB shipped to the compiler)
     # ---------------- fused: whole chain = one lax.scan program ----------
-    @jax.jit
-    def sample_fused(params, noise, cond, key):
-        def model_fn(x, t):
-            return model.apply({"params": params}, x, t)
+    if args.chunk:
+        # chunked: p_sample_loop dispatches ceil(T/chunk) jitted scans
+        def sample_fused(params, noise, cond, key):
+            def model_fn(x, t):
+                return model.apply({"params": params}, x, t)
 
-        return diffusion.p_sample_loop(
-            model_fn, lat, key, cond=cond, noise=noise
-        )
+            return diffusion.p_sample_loop(
+                model_fn, lat, key, cond=cond, noise=noise,
+                chunk_size=args.chunk,
+            )
+    else:
+        @jax.jit
+        def sample_fused(params, noise, cond, key):
+            def model_fn(x, t):
+                return model.apply({"params": params}, x, t)
+
+            return diffusion.p_sample_loop(
+                model_fn, lat, key, cond=cond, noise=noise
+            )
 
     out = sample_fused(params, noise, cond, k_loop)
     out.block_until_ready()  # compile
