@@ -99,15 +99,27 @@ def main():
     # hundreds of MB shipped to the compiler)
     # ---------------- fused: whole chain = one lax.scan program ----------
     if args.chunk:
-        # chunked: p_sample_loop dispatches ceil(T/chunk) jitted scans
-        def sample_fused(params, noise, cond, key):
+        # chunked: ceil(T/chunk) dispatches of one jitted segment scan;
+        # params/cond stay jit ARGS (closure constants overflow the remote
+        # compiler at 81M params)
+        @jax.jit
+        def sample_chunk(params, img, ts, keys, cond):
             def model_fn(x, t):
                 return model.apply({"params": params}, x, t)
 
-            return diffusion.p_sample_loop(
-                model_fn, lat, key, cond=cond, noise=noise,
-                chunk_size=args.chunk,
-            )
+            return diffusion.scan_steps(model_fn, img, ts, keys, cond=cond)
+
+        def sample_fused(params, noise, cond, key):
+            t_total = diffusion.num_timesteps
+            ts = jnp.arange(t_total - 1, -1, -1)
+            keys = jax.random.split(key, t_total)
+            img = noise
+            for s in range(0, t_total, args.chunk):
+                img = sample_chunk(
+                    params, img, ts[s:s + args.chunk],
+                    keys[s:s + args.chunk], cond,
+                )
+            return img
     else:
         @jax.jit
         def sample_fused(params, noise, cond, key):

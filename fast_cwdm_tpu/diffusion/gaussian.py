@@ -404,6 +404,53 @@ class GaussianDiffusion:
         ts = jnp.arange(t_total - 1, -1, -1)
         keys = jax.random.split(key_loop, t_total)
 
+        if chunk_size and chunk_size < t_total:
+            run_chunk = jax.jit(
+                lambda im, ts_c, keys_c, cond_c: self.scan_steps(
+                    model_fn,
+                    im,
+                    ts_c,
+                    keys_c,
+                    cond=cond_c,
+                    clip_denoised=clip_denoised,
+                    denoised_fn=denoised_fn,
+                    model_kwargs=model_kwargs,
+                )
+            )
+            for s in range(0, t_total, chunk_size):
+                img = run_chunk(
+                    img, ts[s : s + chunk_size], keys[s : s + chunk_size],
+                    cond,
+                )
+            return img
+
+        return self.scan_steps(
+            model_fn,
+            img,
+            ts,
+            keys,
+            cond=cond,
+            clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+            model_kwargs=model_kwargs,
+        )
+
+    def scan_steps(
+        self,
+        model_fn,
+        img: jax.Array,
+        ts: jax.Array,
+        keys: jax.Array,
+        *,
+        cond=None,
+        clip_denoised=True,
+        denoised_fn=None,
+        model_kwargs=None,
+    ) -> jax.Array:
+        """Scan an arbitrary timestep segment (building block for
+        `p_sample_loop` and for caller-managed chunking where model params
+        must stay jit ARGUMENTS rather than closure constants)."""
+
         def step(carry, inp):
             t_scalar, k = inp
             t = jnp.full((img.shape[0],), t_scalar, dtype=jnp.int32)
@@ -418,18 +465,6 @@ class GaussianDiffusion:
                 model_kwargs=model_kwargs,
             )
             return out["sample"], None
-
-        if chunk_size and chunk_size < t_total:
-            run_chunk = jax.jit(
-                lambda im, ts_c, keys_c: jax.lax.scan(
-                    step, im, (ts_c, keys_c)
-                )[0]
-            )
-            for s in range(0, t_total, chunk_size):
-                img = run_chunk(
-                    img, ts[s : s + chunk_size], keys[s : s + chunk_size]
-                )
-            return img
 
         final, _ = jax.lax.scan(step, img, (ts, keys))
         return final
