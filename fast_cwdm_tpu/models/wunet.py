@@ -217,6 +217,11 @@ class WavUNetModel(nn.Module):
     use_freq: bool = True
     progressive_input: str = "residual"
     wavelet: str = "haar"
+    # reproduce the reference's accidental decoder semantics: each upsample
+    # block re-runs the preceding ResBlock (+attention) with SHARED params
+    # (`wunet.py:647-673`, see module docstring). Only executable — there
+    # and here — when the level keeps a constant channel width.
+    ref_compat: bool = False
     dtype: jnp.dtype | None = None
 
     def _resblock(self, **kw) -> WavResBlock:
@@ -332,6 +337,7 @@ class WavUNetModel(nn.Module):
         skip7 = None
         bidx = 0
         mid_ch = ch
+        prev_mods: tuple | None = None  # last (res, attn) for ref_compat
         for level, mult in list(enumerate(self.channel_mult))[::-1]:
             for i in range(self.num_res_blocks + 1):
                 new_hs = hs.pop()
@@ -339,16 +345,29 @@ class WavUNetModel(nn.Module):
                     skip7 = new_hs
                 if i != self.num_res_blocks:
                     mid_ch = self.model_channels * mult
-                    h, _ = self._resblock(
+                    res = self._resblock(
                         channels=ch,
                         emb_channels=ted,
                         out_channels=mid_ch,
                         name=f"out_{bidx}_res",
-                    )(h, emb, train=train)
+                    )
+                    h, _ = res(h, emb, train=train)
+                    attn = None
                     if ds in self.attention_resolutions:
-                        h = self._attention(mid_ch, heads_up, f"out_{bidx}_attn")(h)
+                        attn = self._attention(
+                            mid_ch, heads_up, f"out_{bidx}_attn"
+                        )
+                        h = attn(h)
+                    prev_mods = (res, attn)
                     ch = mid_ch
                 else:  # upsample block
+                    if self.ref_compat and prev_mods is not None:
+                        # reference double-run: same module instances →
+                        # shared flax params, executed a second time
+                        res, attn = prev_mods
+                        h, _ = res(h, emb, train=train)
+                        if attn is not None:
+                            h = attn(h)
                     if self.resblock_updown:
                         h, _ = self._resblock(
                             channels=mid_ch,

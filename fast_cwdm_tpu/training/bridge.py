@@ -21,7 +21,8 @@ from typing import Iterator
 
 import numpy as np
 
-from fast_cwdm_tpu.models.unet import UNetModel
+from fast_cwdm_tpu.models.unet import EncoderUNetModel, UNetModel
+from fast_cwdm_tpu.models.wunet import WavUNetModel
 
 
 # ---------------------------------------------------------------------------
@@ -85,6 +86,143 @@ def unet_layout(model: UNetModel) -> Iterator[tuple[str, str, str]]:
     yield "out.2", "out_conv", "conv"
 
 
+def encoder_layout(model: EncoderUNetModel) -> Iterator[tuple[str, str, str]]:
+    """Replay `EncoderUNetModel.__init__` (`unet.py:820-1044`). Only the
+    ``adaptive`` pooling head is bridgeable: the reference's ``spatial`` head
+    hard-codes ``nn.Linear(256, ·)`` and its ``spatial_v2`` head expects
+    ``_feature_size`` inputs while the forward feeds only the pooled middle
+    features (`unet.py:1031-1040`) — both are broken dead code there; this
+    framework implements the upstream guided-diffusion concat semantics,
+    which has a different parameter shape."""
+    yield "time_embed.0", "time_embed_0", "linear"
+    yield "time_embed.2", "time_embed_2", "linear"
+    yield "input_blocks.0.0", "input_conv", "conv"
+
+    ds = 1
+    tidx = 1
+    bidx = 0
+    for level, _mult in enumerate(model.channel_mult):
+        for _ in range(model.num_res_blocks):
+            yield f"input_blocks.{tidx}.0", f"in_{bidx}_res", "res"
+            if ds in model.attention_resolutions:
+                yield f"input_blocks.{tidx}.1", f"in_{bidx}_attn", "attn"
+            tidx += 1
+            bidx += 1
+        if level != len(model.channel_mult) - 1:
+            if model.resblock_updown:
+                yield f"input_blocks.{tidx}.0", f"in_{bidx}_down", "res"
+            else:
+                yield f"input_blocks.{tidx}.0", f"in_{bidx}_down", "downsample"
+            tidx += 1
+            bidx += 1
+            ds *= 2
+
+    yield "middle_block.0", "mid_res0", "res"
+    yield "middle_block.1", "mid_attn", "attn"
+    yield "middle_block.2", "mid_res1", "res"
+
+    if model.pool != "adaptive":
+        raise NotImplementedError(
+            f"torch bridge supports pool='adaptive' only (got {model.pool!r}; "
+            "the reference's spatial/spatial_v2 heads are shape-incompatible "
+            "broken dead code — see docstring)"
+        )
+    yield "out.0", "out_norm", "norm"
+    yield "out.3", "out_conv", "conv"
+
+
+def wunet_layout(model: WavUNetModel) -> Iterator[tuple[str, str, str]]:
+    """Replay `WavUNetModel.__init__` (`wunet.py:410-705`).
+
+    The reference decoder mutates the previous iteration's ``layers`` list
+    when building each upsample block (`wunet.py:647-673`), so every
+    ``output_blocks.{k}`` upsample entry also re-registers the preceding
+    ResBlock/Attention modules — their tensors appear TWICE in the torch
+    state_dict under different keys. Entries marked ``alias:`` map those
+    duplicate keys onto the same flax parameters (import verifies the copies
+    agree; export re-emits them).
+    """
+    if not model.resblock_updown:
+        raise NotImplementedError(
+            "torch bridge supports resblock_updown=True wunet only (the "
+            "reference's standalone wavelet Down/Upsample path unpacks a "
+            "conv output as 8 subbands — broken dead code, `wunet.py:110-124`)"
+        )
+    if model.num_res_blocks < 1:
+        raise NotImplementedError("wunet bridge needs num_res_blocks >= 1")
+
+    yield "time_embed.0", "time_embed_0", "linear"
+    yield "time_embed.2", "time_embed_2", "linear"
+    yield "input_blocks.0.0", "input_conv", "conv"
+
+    nrb = model.num_res_blocks
+    ds = 1
+    tidx = 1
+    bidx = 0
+    for level, _mult in enumerate(model.channel_mult):
+        for _ in range(nrb):
+            yield f"input_blocks.{tidx}.0", f"in_{bidx}_res", "res"
+            if ds in model.attention_resolutions:
+                yield f"input_blocks.{tidx}.1", f"in_{bidx}_attn", "attn"
+            tidx += 1
+            bidx += 1
+        # frequency downsample — EVERY level incl. the last (`wunet.py:532`)
+        yield f"input_blocks.{tidx}.0", f"in_{bidx}_down", "res"
+        tidx += 1
+        bidx += 1
+        # input-pyramid block (empty Sequential when not 'residual', but the
+        # module index still advances, `wunet.py:560-565`)
+        if model.progressive_input == "residual":
+            yield f"input_blocks.{tidx}.0", f"pyramid_{level}", "wavedown"
+        tidx += 1
+        ds *= 2
+
+    yield "middle_block.0", "mid_res0", "res"
+    mi = 1
+    if model.bottleneck_attention:
+        yield "middle_block.1", "mid_attn", "attn"
+        mi = 2
+    yield f"middle_block.{mi}", "mid_res1", "res"
+
+    bidx = 0
+    for _level, _mult in list(enumerate(model.channel_mult))[::-1]:
+        for i in range(nrb + 1):
+            if i != nrb:
+                yield f"output_blocks.{bidx}.0", f"out_{bidx}_res", "res"
+                if ds in model.attention_resolutions:
+                    yield f"output_blocks.{bidx}.1", f"out_{bidx}_attn", "attn"
+            else:
+                # aliased re-registration of the previous block's layers
+                yield f"output_blocks.{bidx}.0", f"out_{bidx - 1}_res", "alias:res"
+                sub = 1
+                if ds in model.attention_resolutions:
+                    yield (
+                        f"output_blocks.{bidx}.1",
+                        f"out_{bidx - 1}_attn",
+                        "alias:attn",
+                    )
+                    sub = 2
+                yield f"output_blocks.{bidx}.{sub}", f"out_{bidx}_up", "res"
+                ds //= 2
+            bidx += 1
+
+    for i in range(nrb):
+        yield f"out_res.{i}.0", f"out_res_{i}", "res"
+
+    yield "out.0", "out_norm", "norm"
+    yield "out.2", "out_conv", "conv"
+
+
+def _layout_for(model) -> Iterator[tuple[str, str, str]]:
+    if isinstance(model, WavUNetModel):
+        return wunet_layout(model)
+    if isinstance(model, EncoderUNetModel):
+        return encoder_layout(model)
+    if isinstance(model, UNetModel):
+        return unet_layout(model)
+    raise TypeError(f"no torch layout for {type(model).__name__}")
+
+
 # per kind: (torch suffix, flax suffix, leaf kind)
 _KIND_LEAVES = {
     "conv": [("", "", "conv")],
@@ -106,15 +244,20 @@ _KIND_LEAVES = {
         ("qkv", "qkv", "conv1d_dense"),
         ("proj_out", "proj_out", "conv1d_dense"),
     ],
+    "wavedown": [("conv", "conv", "conv")],
 }
 
 
-def _leaf_entries(model: UNetModel):
-    for tpath, fpath, kind in unet_layout(model):
+def _leaf_entries(model):
+    """Yield ``(torch key prefix, flax path, leaf kind, is_alias)``."""
+    for tpath, fpath, kind in _layout_for(model):
+        alias = kind.startswith("alias:")
+        if alias:
+            kind = kind[len("alias:"):]
         for tsuf, fsuf, leaf_kind in _KIND_LEAVES[kind]:
             tfull = f"{tpath}.{tsuf}" if tsuf else tpath
             ffull = f"{fpath}/{fsuf}" if fsuf else fpath
-            yield tfull, ffull, leaf_kind
+            yield tfull, ffull, leaf_kind, alias
 
 
 # ---------------------------------------------------------------------------
@@ -190,13 +333,15 @@ def _flatten(tree, prefix="") -> dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def torch_to_flax(state_dict: dict[str, np.ndarray], model: UNetModel) -> dict:
+def torch_to_flax(state_dict: dict[str, np.ndarray], model) -> dict:
     """Convert a reference torch state_dict (tensor→numpy) to a Flax
-    ``params`` tree for ``model``. Raises on unconsumed/missing keys."""
+    ``params`` tree for ``model`` (UNetModel, EncoderUNetModel or
+    WavUNetModel). Raises on unconsumed/missing keys; aliased duplicate
+    keys (wunet decoder) are verified equal to their primary."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     flat: dict[str, np.ndarray] = {}
     consumed = set()
-    for tfull, ffull, leaf_kind in _leaf_entries(model):
+    for tfull, ffull, leaf_kind, alias in _leaf_entries(model):
         for tname in ("weight", "bias"):
             tk = f"{tfull}.{tname}"
             if tk not in sd:
@@ -206,22 +351,32 @@ def torch_to_flax(state_dict: dict[str, np.ndarray], model: UNetModel) -> dict:
                     continue
                 raise KeyError(f"missing torch key {tk}")
             fname, arr = _t2f_leaf(leaf_kind, tname, sd[tk], model.dims)
-            flat[f"{ffull}/{fname}"] = arr.astype(np.float32)
+            fk = f"{ffull}/{fname}"
+            if alias:
+                if fk not in flat or not np.array_equal(
+                    flat[fk], arr.astype(np.float32)
+                ):
+                    raise ValueError(
+                        f"aliased torch key {tk} disagrees with its primary "
+                        f"({fk}) — not a reference-shaped wunet state_dict"
+                    )
+            else:
+                flat[fk] = arr.astype(np.float32)
             consumed.add(tk)
-        if leaf_kind == "embed":
-            tk = tfull + ".weight"  # already handled above
     leftovers = set(sd) - consumed
     if leftovers:
         raise KeyError(f"unconsumed torch keys: {sorted(leftovers)[:8]} ...")
     return _nest(flat)
 
 
-def flax_to_torch(params: dict, model: UNetModel) -> dict[str, np.ndarray]:
-    """Inverse of :func:`torch_to_flax` (for `.pt` export)."""
+def flax_to_torch(params: dict, model) -> dict[str, np.ndarray]:
+    """Inverse of :func:`torch_to_flax` (for `.pt` export). Wunet decoder
+    aliases are re-emitted as duplicate keys, reproducing the reference's
+    state_dict shape exactly."""
     flat = _flatten(params)
     out: dict[str, np.ndarray] = {}
     consumed = set()
-    for tfull, ffull, leaf_kind in _leaf_entries(model):
+    for tfull, ffull, leaf_kind, _alias in _leaf_entries(model):
         for fname in ("kernel", "bias", "scale", "embedding"):
             fk = f"{ffull}/{fname}"
             if fk not in flat:
