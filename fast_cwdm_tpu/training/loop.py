@@ -230,6 +230,12 @@ class TrainLoop:
                         )
                 logger.logkv("step", step)
                 logger.logkv("loss", loss)
+                logger.logkv("loss/MSE", loss)
+                # per-window phase seconds (the reference logs time/load,
+                # time/forward, time/total scalars, `train_util.py:221-232`)
+                logger.logkv("time/load", round(t_data, 4))
+                logger.logkv("time/forward", round(t_step, 4))
+                logger.logkv("time/total", round(t_data + t_step, 4))
                 logger.logkv("norm/grad_max", float(m["grad_max"]))
                 logger.logkv("norm/param_max", float(m["param_max"]))
                 for i, name in enumerate(SUBBAND_NAMES):
@@ -244,15 +250,28 @@ class TrainLoop:
                     quartile = int(4 * int(ti) / T)
                     logger.logkv_mean(f"loss_q{quartile}", float(ls))
                 logger.dumpkvs()
-                # mid-plane x0 image every other log window
-                # (`train_util.py:226-284` logs every 200 steps)
+                # image panels every other log window (`train_util.py:
+                # 226-284` logs every 200 steps): x0 mid-plane, the 8
+                # predicted subband mid-planes, and the source modalities
                 if step % (2 * self.log_interval) == 0:
                     from fast_cwdm_tpu.utils import visualize
 
-                    logger.log_images(
-                        {"x0_mid_plane": visualize(m["sample_slice"][0])},
-                        step,
-                    )
+                    imgs = {"sample/x_0": visualize(m["sample_slice"][0])}
+                    for i, name in enumerate(SUBBAND_NAMES):
+                        imgs[f"sample/{name.upper()}"] = visualize(
+                            m["subband_slices"][0, :, :, i]
+                        )
+                    if self.mode == "i2i" and isinstance(batch, dict):
+                        for mod in sorted(batch):
+                            if mod == self.contr or getattr(
+                                batch[mod], "ndim", 0
+                            ) != 5:
+                                continue
+                            sl = jax.device_get(
+                                batch[mod][0, :, :, batch[mod].shape[3] // 2, 0]
+                            )
+                            imgs[f"source/{mod}"] = visualize(np.asarray(sl))
+                    logger.log_images(imgs, step)
                 t3 = time.time()
                 t_log += t3 - t2
                 total = t_data + t_step + t_log + t_save

@@ -97,16 +97,18 @@ def make_train_step(
                 **kw,
             ).astype(jnp.float32)
 
-        terms, _, out_idwt = diffusion.training_losses(
+        terms, model_out, out_idwt = diffusion.training_losses(
             model_fn, batch, t, key_noise, contr=contr, mode=mode
         )
         # equal subband weights (`train_util.py:447-449`)
         loss = terms["mse_wav"].mean()
-        # mid-plane slice of the denoised image for TB image logging
-        # (`train_util.py:226-284` logs x0 mid-planes) — a slice, not the
-        # full volume, so metrics stay tiny
+        # mid-plane slices for TB/wandb image panels
+        # (`train_util.py:226-284` logs the x0 mid-plane and all 8 predicted
+        # subband mid-planes every 200 steps) — slices, not full volumes,
+        # so metrics stay tiny
         terms = dict(terms)
         terms["sample_slice"] = out_idwt[:, :, :, out_idwt.shape[3] // 2, 0]
+        terms["subband_slices"] = model_out[:, :, :, model_out.shape[3] // 2, :]
         return loss, terms
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -150,6 +152,7 @@ def make_train_step(
             "loss_per_sample": terms["loss_per_sample"],
             "t": t,
             "sample_slice": terms["sample_slice"],
+            "subband_slices": terms["subband_slices"],
             "grad_max": _tree_max_abs(grads),
             "param_max": _tree_max_abs(params),
         }

@@ -225,3 +225,47 @@ class TestOrbaxBackend:
         out = orbax_io.load(p, {"params": params})
         for a, b in zip(jax.tree.leaves(out), jax.tree.leaves({"params": params})):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestImagePanels:
+    def test_panel_keys_match_reference(self, tmp_path, setup, monkeypatch):
+        """Every 2·log_interval steps the loop logs the x0 mid-plane, the 8
+        predicted subband mid-planes, and the 3 source-modality mid-planes
+        (`train_util.py:226-284`)."""
+        from fast_cwdm_tpu.training import loop as loop_mod
+        from fast_cwdm_tpu.utils import logger as _logger
+
+        model, diffusion, batch, _ = setup
+        monkeypatch.setenv("DIFFUSION_TRAINING_TEST", "1")
+        host_batch = jax.tree.map(np.asarray, batch)
+        captured = {}
+        monkeypatch.setattr(
+            _logger, "log_images", lambda imgs, step: captured.update(imgs)
+        )
+
+        def data():
+            while True:
+                yield host_batch
+
+        loop = TrainLoop(
+            model=model,
+            diffusion=diffusion,
+            data=data,
+            batch_size=2,
+            lr=1e-4,
+            log_interval=1,
+            save_interval=2,
+            mode="i2i",
+            contr="t1n",
+            sample_schedule="sampled",
+            diffusion_steps=10,
+            checkpoint_dir=str(tmp_path),
+        )
+        loop.run_loop()
+        expected = {"sample/x_0"}
+        expected |= {f"sample/{n.upper()}" for n in loop_mod.SUBBAND_NAMES}
+        expected |= {"source/t1c", "source/t2w", "source/t2f"}
+        assert expected <= set(captured), sorted(set(captured))
+        assert "source/t1n" not in captured  # target modality excluded
+        for k, v in captured.items():
+            assert v.ndim == 2 and np.isfinite(v).all(), k
