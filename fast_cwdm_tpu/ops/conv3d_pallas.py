@@ -317,3 +317,260 @@ def group_stats(x: jax.Array, num_groups: int):
         a, (b, 1, g, C // g)
     ).reshape(b, C)
     return expand(mean), expand(inv)
+
+
+# ---------------------------------------------------------------------------
+# v4: N-packed fused ResBlock conv
+# ---------------------------------------------------------------------------
+#
+# Profiling the production forward (PERF.md round-1 session 2) showed the
+# convs run at ~70 TF/s because Cout=64 fills only half the MXU's 128
+# lanes, and another ~35 ms/forward goes to the elementwise passes around
+# them. v4 packs the three X-taps into one (Y·Z, 9C)×(9C, 3Co) matmul per
+# halo row (N=3Co=192 at L0: 117 TF/s measured vs 73 at N=64), normalizes
+# rows on the fly (GN-apply+SiLU prologue — no ext scratch), and folds the
+# bias / timestep-embedding / residual-skip adds into the epilogue.
+
+
+def _v4_make_kernel(*, apply_prologue, add_temb, add_skip, tx, pack_n,
+                    unroll=False):
+    def kernel(*refs):
+        it = iter(refs)
+        prev_ref = next(it); cur_ref = next(it); next_ref = next(it)
+        w_ref = next(it); b_ref = next(it)
+        if apply_prologue:
+            mean_ref = next(it); inv_ref = next(it)
+            scale_ref = next(it); bias_ref = next(it)
+        if add_temb:
+            temb_ref = next(it)
+        if add_skip:
+            skip_ref = next(it)
+        out_ref = next(it)
+        acc_ref = next(it); im_ref = next(it)
+
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        _, Y, Z, C = cur_ref.shape
+        Co = out_ref.shape[-1]
+
+        def pro(act):
+            if apply_prologue:
+                xn = (act.astype(_F32) - mean_ref[0]) * inv_ref[0]
+                xn = xn * scale_ref[0] + bias_ref[0]
+                act = (xn * jax.nn.sigmoid(xn)).astype(act.dtype)
+            return act
+
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # fori_loop (NOT a python unroll: straight-lining tx+2 copies of the
+        # staging temporaries overflows VMEM by ~2x)
+        def body(r, _):
+            static = isinstance(r, int)
+            if static:
+                src = (
+                    prev_ref[0] if r == 0
+                    else next_ref[0] if r == tx + 1
+                    else cur_ref[r - 1]
+                )
+            else:
+                crow = cur_ref[jnp.clip(r - 1, 0, tx - 1)]
+                src = jnp.where(
+                    r == 0, prev_ref[0],
+                    jnp.where(r == tx + 1, next_ref[0], crow),
+                )
+            row = pro(src)
+            # conv zero padding applies AFTER the prologue: out-of-volume
+            # halo rows must be zero in conv-input space (pro(0) != 0)
+            if static and r == 0:
+                row = jnp.where(i > 0, row, jnp.zeros_like(row))
+            elif static and r == tx + 1:
+                row = jnp.where(i < n - 1, row, jnp.zeros_like(row))
+            elif not static:
+                gate = ((r != 0) | (i > 0)) & ((r != tx + 1) | (i < n - 1))
+                row = jnp.where(gate, row, jnp.zeros_like(row))
+            padded = jnp.pad(row, ((1, 1), (1, 1), (0, 0)))
+            k = 0
+            for dy in range(3):
+                for dz in range(3):
+                    im_ref[:, :, k * C : (k + 1) * C] = padded[
+                        dy : dy + Y, dz : dz + Z, :
+                    ]
+                    k += 1
+            if pack_n:
+                res = jax.lax.dot_general(
+                    im_ref[:], w_ref[:], (((2,), (0,)), ((), ())),
+                    preferred_element_type=_F32,
+                )  # (Y, Z, 3Co)
+            for dx in range(3):
+                j = r - dx
+
+                def add_part(j, dx):
+                    if pack_n:
+                        part = res[:, :, dx * Co : (dx + 1) * Co]
+                    else:
+                        part = jax.lax.dot_general(
+                            im_ref[:], w_ref[:, dx * Co : (dx + 1) * Co],
+                            (((2,), (0,)), ((), ())),
+                            preferred_element_type=_F32,
+                        )
+                    if isinstance(j, int):
+                        acc_ref[j] = acc_ref[j] + part
+                    else:
+                        jx = pl.ds(jnp.maximum(j, 0), 1)
+                        acc_ref[jx] = acc_ref[jx] + part[None]
+
+                if static:
+                    if 0 <= j < tx:
+                        add_part(j, dx)
+                else:
+                    pl.when((j >= 0) & (j < tx))(lambda: add_part(j, dx))
+
+            return 0
+
+        if unroll:
+            # straight-line variant: lets Mosaic software-pipeline the dots
+            # at the cost of per-iteration temporaries (VMEM); only viable
+            # at small tx
+            for r in range(tx + 2):
+                body(r, 0)
+        else:
+            jax.lax.fori_loop(0, tx + 2, body, 0)
+
+        extra = b_ref[0].astype(_F32)
+        if add_temb:
+            extra = extra + temb_ref[0]
+        for j in range(tx):
+            o = acc_ref[j] + extra
+            if add_skip:
+                o = o + skip_ref[j].astype(_F32)
+            out_ref[j] = o.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _conv3d_v4_single(
+    x, w_packed, b, gn, temb, skip, *, tx, pack_n, interpret, vmem_mb,
+    unroll=False,
+):
+    X, Y, Z, C = x.shape
+    Co = w_packed.shape[1] // 3
+    assert X % tx == 0, f"X={X} % tx={tx}"
+    vec = lambda v: v.reshape(1, -1)  # noqa: E731
+
+    full = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, (lambda i: (0,) * len(shp)), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((1, Y, Z, C), lambda i: (jnp.maximum(i * tx - 1, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tx, Y, Z, C), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Y, Z, C),
+                     lambda i: (jnp.minimum(i * tx + tx, X - 1), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        full(w_packed.shape),
+        full((1, Co)),
+    ]
+    args = [x, x, x, w_packed, vec(b)]
+    if gn is not None:
+        mean, inv, scale, bias = (a.astype(_F32) for a in gn)
+        in_specs += [full((1, C))] * 4
+        args += [vec(mean), vec(inv), vec(scale), vec(bias)]
+    if temb is not None:
+        in_specs.append(full((1, Co)))
+        args.append(vec(temb.astype(_F32)))
+    if skip is not None:
+        in_specs.append(
+            pl.BlockSpec((tx, Y, Z, Co), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(skip)
+
+    kern = _v4_make_kernel(
+        apply_prologue=gn is not None,
+        add_temb=temb is not None,
+        add_skip=skip is not None,
+        tx=tx,
+        pack_n=pack_n,
+        unroll=unroll,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(X // tx,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tx, Y, Z, Co), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z, Co), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tx, Y, Z, Co), _F32),
+            pltpu.VMEM((Y, Z, 9 * C), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def pack_conv_weights(w):
+    """(3,3,3,Ci,Co) DHWIO kernel → (9·Ci, 3·Co) with the X-taps stacked on
+    N and the (dy,dz,ci) im2col order on K."""
+    Co = w.shape[-1]
+    return w.transpose(1, 2, 3, 0, 4).reshape(9 * w.shape[3], 3 * Co)
+
+
+def conv3d_fused_v4(
+    x,
+    w,
+    b,
+    *,
+    gn=None,
+    temb=None,
+    skip=None,
+    tx: int | None = None,
+    pack_n: bool = True,
+    unroll: bool = False,
+    interpret: bool = False,
+    vmem_mb: int = 100,
+):
+    """Fused [GN-apply+SiLU] → 3³ SAME conv → [+bias +temb +skip].
+
+    ``x``: (B, X, Y, Z, Ci); ``w``: (3,3,3,Ci,Co); ``b``: (Co,).
+    ``gn``: per-(batch,)channel (mean, inv, scale, bias) — (Ci,) or (B, Ci).
+    ``temb``: per-(batch,)channel add after the conv — (Co,) or (B, Co).
+    ``skip``: residual tensor (B, X, Y, Z, Co) added in the epilogue.
+    """
+    assert x.ndim == 5
+    C = x.shape[-1]
+    if tx is None:
+        tx = 8 if C <= 64 else 4
+    w_packed = pack_conv_weights(w).astype(x.dtype)
+    b = b.astype(_F32)
+
+    def one(xi, gni, tembi, skipi):
+        return _conv3d_v4_single(
+            xi, w_packed, b, gni, tembi, skipi,
+            tx=tx, pack_n=pack_n, interpret=interpret, vmem_mb=vmem_mb,
+            unroll=unroll,
+        )
+
+    def bcast(v, width):
+        if v is None:
+            return None
+        v = jnp.asarray(v)
+        if v.ndim == 1:
+            v = jnp.broadcast_to(v, (x.shape[0], width))
+        return v
+
+    gn_b = None
+    if gn is not None:
+        gn_b = tuple(bcast(a, C) for a in gn)
+    temb_b = bcast(temb, w.shape[-1])
+
+    outs = []
+    for bi in range(x.shape[0]):  # batch is 1-2 at these volume sizes
+        gni = tuple(a[bi] for a in gn_b) if gn_b is not None else None
+        tembi = temb_b[bi] if temb_b is not None else None
+        skipi = skip[bi] if skip is not None else None
+        outs.append(one(x[bi], gni, tembi, skipi))
+    return jnp.stack(outs)

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPATIAL_AXIS = "sp"
+TENSOR_AXIS = "tp"
 
 
 def setup_distributed() -> None:
@@ -48,27 +49,36 @@ def setup_distributed() -> None:
 def make_mesh(
     data: int = -1,
     sp: int = 1,
+    tp: int = 1,
     *,
     devices: list | None = None,
 ) -> Mesh:
-    """Build a ``(data, sp)`` mesh over the available devices.
+    """Build a ``(data, sp[, tp])`` mesh over the available devices.
 
-    ``data=-1`` uses all devices not consumed by ``sp``. Device order comes
-    from `mesh_utils.create_device_mesh` so the ``data`` axis rides ICI
-    neighbours (scaling-book recipe: innermost axis ↔ fastest links).
+    ``data=-1`` uses all devices not consumed by ``sp``/``tp``. Device order
+    comes from `mesh_utils.create_device_mesh` so the inner axes ride ICI
+    neighbours (scaling-book recipe: innermost axis ↔ fastest links). The
+    ``tp`` axis (tensor parallelism: channel-sharded params via
+    :func:`shard_params`) is only materialized when tp > 1, keeping the
+    common 2-axis mesh shape for dp/sp-only jobs.
     """
     devices = list(jax.devices()) if devices is None else list(devices)
     n = len(devices)
     if data == -1:
-        if n % sp:
-            raise ValueError(f"{n} devices not divisible by sp={sp}")
-        data = n // sp
-    if data * sp != n:
-        devices = devices[: data * sp]
+        if n % (sp * tp):
+            raise ValueError(f"{n} devices not divisible by sp*tp={sp * tp}")
+        data = n // (sp * tp)
+    if data * sp * tp != n:
+        devices = devices[: data * sp * tp]
+    if tp == 1:
+        dev_array = mesh_utils.create_device_mesh(
+            (data, sp), devices=np.asarray(devices)
+        )
+        return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS))
     dev_array = mesh_utils.create_device_mesh(
-        (data, sp), devices=np.asarray(devices)
+        (data, sp, tp), devices=np.asarray(devices)
     )
-    return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS))
+    return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS, TENSOR_AXIS))
 
 
 def make_hybrid_mesh(sp: int = 1) -> Mesh:
@@ -106,6 +116,27 @@ def batch_sharding(mesh: Mesh, ndim: int = 5) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def param_spec(leaf, mesh: Mesh) -> P:
+    """Tensor-parallel spec for one parameter: shard the OUTPUT-channel
+    (last) axis over ``tp`` when divisible — column-parallel convs/denses;
+    GSPMD inserts the matching collectives. 1-D params (norm scales,
+    biases) stay replicated. Capability beyond the reference (SURVEY §2.7:
+    TP absent there; optional here)."""
+    ntp = dict(mesh.shape).get(TENSOR_AXIS, 1)
+    if ntp > 1 and leaf.ndim >= 2 and leaf.shape[-1] % ntp == 0:
+        return P(*([None] * (leaf.ndim - 1) + [TENSOR_AXIS]))
+    return P()
+
+
+def shard_params(mesh: Mesh, params):
+    """Device-put a parameter pytree with :func:`param_spec` shardings
+    (replicates everything when the mesh has no ``tp`` axis)."""
+    return jax.tree.map(
+        lambda p: jax.device_put(p, NamedSharding(mesh, param_spec(p, mesh))),
+        params,
+    )
 
 
 def shard_batch(mesh: Mesh, tree):

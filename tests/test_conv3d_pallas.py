@@ -108,3 +108,79 @@ def test_blocked_fused_gn(data):
         x8, w, b, gn=(mean, inv, scale, bias), block_x=2, interpret=INTERP
     )
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+class TestV4:
+    """N-packed fused ResBlock conv (`conv3d_fused_v4`)."""
+
+    def _mk(self, B=2, X=8, Y=6, Z=6, C=8, Co=8):
+        import jax
+
+        key = jax.random.PRNGKey(7)
+        ks = jax.random.split(key, 8)
+        x = jax.random.normal(ks[0], (B, X, Y, Z, C), jnp.float32)
+        w = jax.random.normal(ks[1], (3, 3, 3, C, Co), jnp.float32) * 0.1
+        b = jax.random.normal(ks[2], (Co,))
+        mean = jax.random.normal(ks[3], (B, C)) * 0.1
+        inv = jax.nn.softplus(jax.random.normal(ks[4], (B, C))) + 0.5
+        scale = jnp.broadcast_to(
+            jax.random.normal(ks[5], (C,)) * 0.2 + 1.0, (B, C)
+        )
+        bias = jnp.broadcast_to(jax.random.normal(ks[6], (C,)) * 0.1, (B, C))
+        temb = jax.random.normal(ks[7], (B, Co))
+        skip = jax.random.normal(ks[0], (B, X, Y, Z, Co))
+        return x, w, b, mean, inv, scale, bias, temb, skip
+
+    def _ref(self, x, w, b, mean, inv, scale, bias, temb, skip):
+        import jax
+
+        bc = (slice(None), None, None, None, slice(None))
+        xn = (x - mean[bc]) * inv[bc] * scale[bc] + bias[bc]
+        h = xn * jax.nn.sigmoid(xn)
+        out = jax.lax.conv_general_dilated(
+            h, w, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return out + b + temb[bc] + skip
+
+    @pytest.mark.parametrize("pack_n", [True, False])
+    def test_full_epilogue_parity(self, pack_n):
+        from fast_cwdm_tpu.ops.conv3d_pallas import conv3d_fused_v4
+
+        x, w, b, mean, inv, scale, bias, temb, skip = self._mk()
+        y_ref = self._ref(x, w, b, mean, inv, scale, bias, temb, skip)
+        y = conv3d_fused_v4(
+            x, w, b, gn=(mean, inv, scale, bias), temb=temb, skip=skip,
+            tx=4, pack_n=pack_n, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    def test_plain_conv_parity(self):
+        import jax
+
+        from fast_cwdm_tpu.ops.conv3d_pallas import conv3d_fused_v4
+
+        x, w, b, *_ = self._mk()
+        y_ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        ) + b
+        y = conv3d_fused_v4(x, w, b, tx=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    def test_rect_channels(self):
+        """Ci != Co (decoder concat inputs)."""
+        import jax
+
+        from fast_cwdm_tpu.ops.conv3d_pallas import conv3d_fused_v4
+
+        x, _, _, mean, inv, scale, bias, temb, skip = self._mk(C=16, Co=8)
+        key = jax.random.PRNGKey(3)
+        w = jax.random.normal(key, (3, 3, 3, 16, 8), jnp.float32) * 0.1
+        b = jnp.zeros((8,))
+        y_ref = self._ref(x, w, b, mean, inv, scale, bias, temb, skip)
+        y = conv3d_fused_v4(
+            x, w, b, gn=(mean, inv, scale, bias), temb=temb, skip=skip,
+            tx=4, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)

@@ -118,3 +118,42 @@ def test_dryrun_multichip_entrypoint():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+class TestTensorParallel:
+    def test_tp_mesh_and_param_sharding(self):
+        import jax
+        import jax.numpy as jnp
+
+        from fast_cwdm_tpu.parallel import (
+            TENSOR_AXIS, make_mesh, param_spec, shard_params,
+        )
+
+        mesh = make_mesh(data=2, sp=2, tp=2)
+        assert dict(mesh.shape) == {"data": 2, "sp": 2, "tp": 2}
+        params = {
+            "conv": {"kernel": jnp.zeros((3, 3, 3, 8, 16)),
+                     "bias": jnp.zeros((16,))},
+            "dense": {"kernel": jnp.zeros((8, 32))},
+        }
+        sharded = shard_params(mesh, params)
+        k = sharded["conv"]["kernel"]
+        spec = k.sharding.spec
+        assert spec[-1] == TENSOR_AXIS
+        assert sharded["conv"]["bias"].sharding.spec == ()
+        # odd channel width stays replicated
+        odd = shard_params(mesh, {"w": jnp.zeros((4, 7))})
+        assert odd["w"].sharding.spec == ()
+
+    def test_two_axis_mesh_unchanged(self):
+        from fast_cwdm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=4, sp=2)
+        assert dict(mesh.shape) == {"data": 4, "sp": 2}
+
+    def test_dryrun_multichip_entry(self):
+        """The driver's multi-chip hook: full sharded train step over
+        dp x sp x tp."""
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
