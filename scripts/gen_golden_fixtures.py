@@ -42,6 +42,33 @@ def _install_pywt_stub():
     sys.modules["pywt"] = mod
 
 
+def _install_side_stubs():
+    """gaussian_diffusion.py imports torchvision/train_util (→ wandb) at
+    module level for logging helpers unused in the numeric path."""
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.save_image = lambda *a, **k: None
+        tv.utils = tvu
+        tvt = types.ModuleType("torchvision.transforms")
+        tvt.Compose = lambda *a, **k: (lambda x: x)
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+        sys.modules["torchvision.transforms"] = tvt
+    if "wandb" not in sys.modules:
+        wb = types.ModuleType("wandb")
+        wb.log = lambda *a, **k: None
+        wb.init = lambda *a, **k: None
+        wb.Image = lambda *a, **k: None
+        sys.modules["wandb"] = wb
+    if "blobfile" not in sys.modules:
+        bf = types.ModuleType("blobfile")
+        bf.BlobFile = open
+        bf.join = lambda *a: "/".join(a)
+        sys.modules["blobfile"] = bf
+
+
 def _state_dict_numpy(model):
     return {k: v.detach().numpy() for k, v in model.state_dict().items()}
 
@@ -124,23 +151,96 @@ def gen_encoder(out_path: str):
     print(f"wrote {out_path}: y shape {y.shape}, {len(blob) - 3} sd keys")
 
 
+def gen_diffusion_trace(out_path: str):
+    """Seeded 10-step 'sampled'-schedule ancestral chain through a tiny
+    reference UNet in i2i mode (production flags: predict_xstart → START_X,
+    FIXED_LARGE, clip_denoised idwt→clamp→dwt round trip). Noise is
+    injected explicitly per step, so the whole L3 numerical core is pinned
+    without RNG coupling."""
+    import torch
+
+    from guided_diffusion.script_util import create_gaussian_diffusion
+    from guided_diffusion.unet import UNetModel
+
+    torch.manual_seed(21)
+    T = 10
+    diff = create_gaussian_diffusion(
+        steps=T,
+        learn_sigma=False,
+        noise_schedule="linear",
+        predict_xstart=True,
+        rescale_timesteps=False,
+        timestep_respacing="",
+        mode="i2i",
+        sample_schedule="sampled",
+    )
+    model = UNetModel(
+        image_size=16,
+        in_channels=16,  # 8 noisy-target subbands + 8 condition subbands
+        model_channels=16,
+        out_channels=8,
+        num_res_blocks=1,
+        attention_resolutions=(),
+        channel_mult=(1, 2),
+        dims=3,
+        num_groups=8,
+        resblock_updown=True,
+        bottleneck_attention=False,
+        resample_2d=False,
+    )
+    model.to("cpu")  # populates model.devices (asserted in forward)
+    model.eval()
+
+    x_init = torch.randn(1, 8, 16, 16, 16)
+    cond = torch.randn(1, 8, 16, 16, 16)
+    noises = torch.randn(T, 1, 8, 16, 16, 16)
+    x = x_init
+    steps = []
+    with torch.no_grad():
+        for k, i in enumerate(range(T - 1, -1, -1)):
+            t = torch.tensor([i])
+            out = diff.p_mean_variance(
+                model, x, t, clip_denoised=True, cond=cond
+            )
+            mask = 0.0 if i == 0 else 1.0
+            x = out["mean"] + mask * torch.exp(
+                0.5 * out["log_variance"]
+            ) * noises[k]
+            steps.append(x.numpy().copy())
+
+    blob = {f"sd.{k}": v for k, v in _state_dict_numpy(model).items()}
+    blob["__x_init__"] = x_init.numpy()
+    blob["__cond__"] = cond.numpy()
+    blob["__noises__"] = noises.numpy()
+    blob["__steps__"] = np.stack(steps)
+    np.savez(out_path, **blob)
+    print(f"wrote {out_path}: {len(steps)} steps")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--golden-dir",
         default=os.path.join(os.path.dirname(__file__), "..", "tests", "golden"),
     )
-    ap.add_argument("--which", nargs="*", default=["wunet", "encoder"])
+    ap.add_argument(
+        "--which", nargs="*", default=["wunet", "encoder", "diffusion"]
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REFERENCE)
     _install_pywt_stub()
+    _install_side_stubs()
     os.makedirs(args.golden_dir, exist_ok=True)
 
     if "wunet" in args.which:
         gen_wunet(os.path.join(args.golden_dir, "wunet_tiny_torch.npz"))
     if "encoder" in args.which:
         gen_encoder(os.path.join(args.golden_dir, "encoder_tiny_torch.npz"))
+    if "diffusion" in args.which:
+        gen_diffusion_trace(
+            os.path.join(args.golden_dir, "diffusion_trace_torch.npz")
+        )
 
 
 if __name__ == "__main__":

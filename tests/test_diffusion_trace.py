@@ -1,0 +1,87 @@
+"""Seeded ancestral-chain parity against the EXECUTED reference.
+
+`tests/golden/diffusion_trace_torch.npz` (scripts/gen_golden_fixtures.py)
+holds a 10-step "sampled"-schedule i2i chain through a tiny reference UNet
+with production sampling flags (START_X mean, FIXED_LARGE variance,
+clip_denoised's idwt→clamp→dwt x0 projection — `gaussian_diffusion.py:
+269-420,529-574`) and explicitly injected per-step noise. Replaying it here
+pins the whole L3 numerical core: beta tables, coefficient tables,
+p_mean_variance (incl. the wavelet round-trip and LLL/3 convention),
+posterior mean/variance, and the reparameterized step.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "diffusion_trace_torch.npz"
+)
+
+
+@pytest.fixture(scope="module")
+def trace():
+    data = np.load(GOLDEN)
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd.")}
+    return data, sd
+
+
+def test_chain_matches_reference(trace):
+    import jax.numpy as jnp
+
+    from fast_cwdm_tpu.diffusion.gaussian import (
+        GaussianDiffusion, MeanType, VarType,
+    )
+    from fast_cwdm_tpu.diffusion.schedules import get_named_beta_schedule
+    from fast_cwdm_tpu.models import UNetModel
+    from fast_cwdm_tpu.training.bridge import torch_to_flax
+
+    data, sd = trace
+    T = 10
+    diff = GaussianDiffusion.create(
+        get_named_beta_schedule("linear", T, "sampled"),
+        mean_type=MeanType.START_X,
+        var_type=VarType.FIXED_LARGE,
+        mode="i2i",
+    )
+    model = UNetModel(
+        image_size=16,
+        in_channels=16,
+        model_channels=16,
+        out_channels=8,
+        num_res_blocks=1,
+        attention_resolutions=(),
+        channel_mult=(1, 2),
+        dims=3,
+        num_groups=8,
+        resblock_updown=True,
+        bottleneck_attention=False,
+        resample_2d=False,
+    )
+    params = torch_to_flax(sd, model)
+
+    def model_fn(x, t):
+        return model.apply({"params": params}, x, t)
+
+    nchw_to_last = lambda a: np.transpose(a, (0, 2, 3, 4, 1))  # noqa: E731
+    x = jnp.asarray(nchw_to_last(data["__x_init__"]))
+    cond = jnp.asarray(nchw_to_last(data["__cond__"]))
+    noises = data["__noises__"]
+    steps_ref = data["__steps__"]
+
+    for k, i in enumerate(range(T - 1, -1, -1)):
+        t = jnp.full((1,), i, jnp.int32)
+        out = diff.p_mean_variance(
+            model_fn, x, t, cond=cond, clip_denoised=True
+        )
+        mask = 0.0 if i == 0 else 1.0
+        x = out["mean"] + mask * jnp.exp(
+            0.5 * out["log_variance"]
+        ) * jnp.asarray(nchw_to_last(noises[k]))
+        np.testing.assert_allclose(
+            np.asarray(x),
+            nchw_to_last(steps_ref[k]),
+            atol=5e-5,
+            err_msg=f"diverged at reverse step {k} (t={i})",
+        )
