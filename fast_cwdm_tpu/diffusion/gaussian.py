@@ -719,6 +719,7 @@ class GaussianDiffusion:
         contr: str = "t1n",
         mode: str | None = None,
         model_kwargs: dict | None = None,
+        noise_img: jax.Array | None = None,
     ):
         """x0-prediction MSE in wavelet space (`gaussian_diffusion.py:1084-1166`).
 
@@ -746,7 +747,8 @@ class GaussianDiffusion:
             cond_dwt = None
 
         x_start_dwt = wv.dwt_normalized(target, wavelet)
-        noise_img = jax.random.normal(key, target.shape, dtype=target.dtype)
+        if noise_img is None:  # explicit noise: deterministic parity tests
+            noise_img = jax.random.normal(key, target.shape, dtype=target.dtype)
         noise_dwt = wv.dwt3_flat(noise_img, wavelet)  # no LLL scaling (:1145)
         x_t = self.q_sample(x_start_dwt, t, noise_dwt)
         if mode == "i2i":

@@ -217,6 +217,77 @@ def gen_diffusion_trace(out_path: str):
     print(f"wrote {out_path}: {len(steps)} steps")
 
 
+def gen_training_losses(out_path: str):
+    """One i2i training_losses evaluation with deterministic noise
+    (`gaussian_diffusion.py:1084-1166` ignores its noise arg and redraws at
+    :1143 — randn_like is patched for the call). Pins the training
+    objective: condition DWTs + LLL/3, x_start DWT, image-space noise DWT,
+    q_sample, the 32-channel concat, and the per-subband MSE."""
+    import torch
+
+    import guided_diffusion.gaussian_diffusion as gdm
+    from guided_diffusion.script_util import create_gaussian_diffusion
+    from guided_diffusion.unet import UNetModel
+
+    torch.manual_seed(33)
+    T = 10
+    diff = create_gaussian_diffusion(
+        steps=T,
+        learn_sigma=False,
+        noise_schedule="linear",
+        predict_xstart=True,
+        rescale_timesteps=False,
+        timestep_respacing="",
+        mode="i2i",
+        sample_schedule="sampled",
+    )
+    model = UNetModel(
+        image_size=16,
+        in_channels=32,  # 8 target + 3x8 condition subbands
+        model_channels=16,
+        out_channels=8,
+        num_res_blocks=1,
+        attention_resolutions=(),
+        channel_mult=(1, 2),
+        dims=3,
+        num_groups=8,
+        resblock_updown=True,
+        bottleneck_attention=False,
+        resample_2d=False,
+    )
+    model.to("cpu")
+    model.eval()
+
+    mods = ["t1n", "t1c", "t2w", "t2f"]
+    batch = {m: torch.rand(2, 1, 16, 16, 16) for m in mods}
+    t = torch.tensor([3, 7])
+    noise = torch.randn(2, 1, 16, 16, 16)
+
+    orig = gdm.th.randn_like
+    gdm.th.randn_like = lambda x: noise
+    try:
+        with torch.no_grad():
+            # model_kwargs must be non-None: the reference's i2i branch is an
+            # `elif` of `model_kwargs is None` (`gaussian_diffusion.py:
+            # 1099-1102`) and is silently skipped otherwise
+            terms, model_output, model_output_idwt = diff.training_losses(
+                model, batch, t, model_kwargs={}, mode="i2i", contr="t1n"
+            )
+    finally:
+        gdm.th.randn_like = orig
+
+    blob = {f"sd.{k}": v for k, v in _state_dict_numpy(model).items()}
+    for m in mods:
+        blob[f"__batch_{m}__"] = batch[m].numpy()
+    blob["__t__"] = t.numpy()
+    blob["__noise__"] = noise.numpy()
+    blob["__mse_wav__"] = terms["mse_wav"].numpy()
+    blob["__model_output__"] = model_output.numpy()
+    blob["__model_output_idwt__"] = model_output_idwt.numpy()
+    np.savez(out_path, **blob)
+    print(f"wrote {out_path}: mse_wav {terms['mse_wav'].numpy()}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -224,7 +295,7 @@ def main():
         default=os.path.join(os.path.dirname(__file__), "..", "tests", "golden"),
     )
     ap.add_argument(
-        "--which", nargs="*", default=["wunet", "encoder", "diffusion"]
+        "--which", nargs="*", default=["wunet", "encoder", "diffusion", "training"]
     )
     args = ap.parse_args()
 
@@ -240,6 +311,10 @@ def main():
     if "diffusion" in args.which:
         gen_diffusion_trace(
             os.path.join(args.golden_dir, "diffusion_trace_torch.npz")
+        )
+    if "training" in args.which:
+        gen_training_losses(
+            os.path.join(args.golden_dir, "training_losses_torch.npz")
         )
 
 

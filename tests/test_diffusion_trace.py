@@ -85,3 +85,70 @@ def test_chain_matches_reference(trace):
             atol=5e-5,
             err_msg=f"diverged at reverse step {k} (t={i})",
         )
+
+
+TRAIN_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "training_losses_torch.npz"
+)
+
+
+def test_training_losses_match_reference():
+    """One i2i training_losses evaluation vs the executed reference with
+    injected noise: condition DWTs + LLL/3, q_sample, 32-ch concat, model
+    eval, per-subband MSE, and the output IDWT
+    (`gaussian_diffusion.py:1084-1166`)."""
+    import jax.numpy as jnp
+
+    from fast_cwdm_tpu.diffusion.gaussian import GaussianDiffusion
+    from fast_cwdm_tpu.models import UNetModel
+    from fast_cwdm_tpu.training.bridge import torch_to_flax
+
+    data = np.load(TRAIN_GOLDEN)
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd.")}
+    diff = GaussianDiffusion.named("linear", 10, "sampled", mode="i2i")
+    model = UNetModel(
+        image_size=16,
+        in_channels=32,
+        model_channels=16,
+        out_channels=8,
+        num_res_blocks=1,
+        attention_resolutions=(),
+        channel_mult=(1, 2),
+        dims=3,
+        num_groups=8,
+        resblock_updown=True,
+        bottleneck_attention=False,
+        resample_2d=False,
+    )
+    params = torch_to_flax(sd, model)
+
+    def model_fn(x, t):
+        return model.apply({"params": params}, x, t)
+
+    nchw_to_last = lambda a: np.transpose(a, (0, 2, 3, 4, 1))  # noqa: E731
+    batch = {
+        m: jnp.asarray(nchw_to_last(data[f"__batch_{m}__"]))
+        for m in ("t1n", "t1c", "t2w", "t2f")
+    }
+    t = jnp.asarray(data["__t__"])
+    noise_img = jnp.asarray(nchw_to_last(data["__noise__"]))
+
+    import jax
+
+    terms, model_output, model_output_idwt = diff.training_losses(
+        model_fn, batch, t, jax.random.PRNGKey(0),
+        contr="t1n", noise_img=noise_img,
+    )
+    np.testing.assert_allclose(
+        np.asarray(terms["mse_wav"]), data["__mse_wav__"], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(model_output),
+        nchw_to_last(data["__model_output__"]),
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(model_output_idwt),
+        nchw_to_last(data["__model_output_idwt__"]),
+        atol=2e-5,
+    )
