@@ -288,6 +288,65 @@ def gen_training_losses(out_path: str):
     print(f"wrote {out_path}: mse_wav {terms['mse_wav'].numpy()}")
 
 
+def gen_ddim_trace(out_path: str):
+    """Deterministic (eta=0) 10-step DDIM chain, mode='default' — the only
+    executable reference DDIM configuration: mode='i2i' raises
+    NotImplementedError (`gaussian_diffusion.py:752-757`), the
+    `sampling_steps` interp path crashes on removed `np.float` (`:763`),
+    and eta>0 is broken anyway (the noisy sample is computed then DISCARDED
+    — `:784` returns `mean_pred`)."""
+    import torch
+
+    from guided_diffusion.script_util import create_gaussian_diffusion
+    from guided_diffusion.unet import UNetModel
+
+    torch.manual_seed(43)
+    T = 10
+    diff = create_gaussian_diffusion(
+        steps=T,
+        learn_sigma=False,
+        noise_schedule="linear",
+        predict_xstart=True,
+        rescale_timesteps=False,
+        timestep_respacing="",
+        mode="default",
+        sample_schedule="sampled",
+    )
+    model = UNetModel(
+        image_size=16,
+        in_channels=8,
+        model_channels=16,
+        out_channels=8,
+        num_res_blocks=1,
+        attention_resolutions=(),
+        channel_mult=(1, 2),
+        dims=3,
+        num_groups=8,
+        resblock_updown=True,
+        bottleneck_attention=False,
+        resample_2d=False,
+    )
+    model.to("cpu")
+    model.eval()
+
+    x_init = torch.randn(1, 8, 16, 16, 16)
+    x = x_init
+    steps = []
+    with torch.no_grad():
+        for i in range(T - 1, -1, -1):
+            out = diff.ddim_sample(
+                model, x, torch.tensor([i]), clip_denoised=True, eta=0.0
+            )
+            x = out["sample"]
+            steps.append(x.numpy().copy())
+
+    blob = {f"sd.{k}": v for k, v in _state_dict_numpy(model).items()}
+    blob["__x_init__"] = x_init.numpy()
+    blob["__steps__"] = np.stack(steps)
+    np.savez(out_path, **blob)
+    print(f"wrote {out_path}: {len(steps)} ddim steps")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -295,7 +354,7 @@ def main():
         default=os.path.join(os.path.dirname(__file__), "..", "tests", "golden"),
     )
     ap.add_argument(
-        "--which", nargs="*", default=["wunet", "encoder", "diffusion", "training"]
+        "--which", nargs="*", default=["wunet", "encoder", "diffusion", "training", "ddim"]
     )
     args = ap.parse_args()
 
@@ -315,6 +374,10 @@ def main():
     if "training" in args.which:
         gen_training_losses(
             os.path.join(args.golden_dir, "training_losses_torch.npz")
+        )
+    if "ddim" in args.which:
+        gen_ddim_trace(
+            os.path.join(args.golden_dir, "ddim_trace_torch.npz")
         )
 
 

@@ -152,3 +152,68 @@ def test_training_losses_match_reference():
         nchw_to_last(data["__model_output_idwt__"]),
         atol=2e-5,
     )
+
+
+DDIM_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "ddim_trace_torch.npz"
+)
+
+
+def test_ddim_chain_matches_reference():
+    """Deterministic eta=0 DDIM chain vs the executed reference
+    (mode='default' — the only configuration the reference's DDIM can run:
+    i2i raises, the interp path crashes on np.float, and its eta>0 sample
+    is discarded at return, `gaussian_diffusion.py:721-784`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_cwdm_tpu.diffusion.gaussian import (
+        GaussianDiffusion, MeanType, VarType,
+    )
+    from fast_cwdm_tpu.diffusion.schedules import get_named_beta_schedule
+    from fast_cwdm_tpu.models import UNetModel
+    from fast_cwdm_tpu.training.bridge import torch_to_flax
+
+    data = np.load(DDIM_GOLDEN)
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd.")}
+    T = 10
+    diff = GaussianDiffusion.create(
+        get_named_beta_schedule("linear", T, "sampled"),
+        mean_type=MeanType.START_X,
+        var_type=VarType.FIXED_LARGE,
+        mode="default",
+    )
+    model = UNetModel(
+        image_size=16,
+        in_channels=8,
+        model_channels=16,
+        out_channels=8,
+        num_res_blocks=1,
+        attention_resolutions=(),
+        channel_mult=(1, 2),
+        dims=3,
+        num_groups=8,
+        resblock_updown=True,
+        bottleneck_attention=False,
+        resample_2d=False,
+    )
+    params = torch_to_flax(sd, model)
+
+    def model_fn(x, t):
+        return model.apply({"params": params}, x, t)
+
+    nchw_to_last = lambda a: np.transpose(a, (0, 2, 3, 4, 1))  # noqa: E731
+    x = jnp.asarray(nchw_to_last(data["__x_init__"]))
+    steps_ref = data["__steps__"]
+    key = jax.random.PRNGKey(0)  # eta=0: noise multiplied by sigma=0
+
+    for k, i in enumerate(range(T - 1, -1, -1)):
+        t = jnp.full((1,), i, jnp.int32)
+        out = diff.ddim_sample(model_fn, x, t, key, eta=0.0)
+        x = out["sample"]
+        np.testing.assert_allclose(
+            np.asarray(x),
+            nchw_to_last(steps_ref[k]),
+            atol=5e-5,
+            err_msg=f"ddim diverged at reverse step {k} (t={i})",
+        )
