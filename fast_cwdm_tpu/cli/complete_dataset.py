@@ -142,6 +142,33 @@ def main(argv=None) -> None:
     pool = ThreadPoolExecutor(max_workers=2)
     futures = {d: pool.submit(load_case, d) for d in case_dirs[:2]}
 
+    # output stage runs on its own threads: un-crop + gzip of a 240³ f32
+    # volume costs seconds of host time and must overlap the next case's
+    # device sampling just like the input decode does
+    writer = ThreadPoolExecutor(max_workers=2)
+    pending: list = []
+
+    def write_case(case, case_dir, out_case, missing, sample_np, src_img):
+        pathlib.Path(out_case).mkdir(parents=True, exist_ok=True)
+        # copy existing files through (`complete_dataset.py:352-367`)
+        for f in os.listdir(case_dir):
+            shutil.copy2(
+                os.path.join(case_dir, f), os.path.join(out_case, f)
+            )
+        if missing is None:
+            return
+        if args.threshold > 0:
+            sample_np[sample_np <= args.threshold] = 0.0
+        full = unprocess_volume(
+            sample_np[..., None], raw_shape=src_img.shape
+        )
+        save(
+            Nifti1Image(
+                full.astype(np.float32), src_img.affine, src_img.header
+            ),
+            os.path.join(out_case, f"{case}-{missing}.nii.gz"),
+        )
+
     for idx, case_dir in enumerate(case_dirs):
         case = os.path.basename(case_dir)
         # keep two cases in flight
@@ -152,41 +179,40 @@ def main(argv=None) -> None:
             t0 = time.time()
             missing, avail, src_img = futures.pop(case_dir).result()
             out_case = os.path.join(args.output_dir, case)
-            pathlib.Path(out_case).mkdir(parents=True, exist_ok=True)
-            # copy existing files through (`complete_dataset.py:352-367`)
-            for f in os.listdir(case_dir):
-                shutil.copy2(
-                    os.path.join(case_dir, f), os.path.join(out_case, f)
+            sample_np = None
+            if missing is not None:
+                synth = get_synth(missing)
+                cond = common.prepare_condition(avail, missing)
+                mask_vol = avail[condition_order(missing)[0]]
+                nonlocal_key = jax.random.fold_in(
+                    key, hash(case) & 0x7FFFFFFF
                 )
-            if missing is None:
-                ok += 1
-                continue
-            synth = get_synth(missing)
-            cond = common.prepare_condition(avail, missing)
-            mask_vol = avail[condition_order(missing)[0]]
-            nonlocal_key = jax.random.fold_in(key, hash(case) & 0x7FFFFFFF)
-            sample = synth(cond, mask_vol, nonlocal_key)[0]
-            if args.threshold > 0:
-                sample[sample <= args.threshold] = 0.0
-            full = unprocess_volume(
-                sample[..., None], raw_shape=src_img.shape
-            )
-            out_name = os.path.join(out_case, f"{case}-{missing}.nii.gz")
-            save(
-                Nifti1Image(
-                    full.astype(np.float32), src_img.affine, src_img.header
-                ),
-                out_name,
+                sample_np = np.asarray(
+                    synth(cond, mask_vol, nonlocal_key)[0]
+                )
+            pending.append(
+                (case, writer.submit(
+                    write_case, case, case_dir, out_case, missing,
+                    sample_np, src_img,
+                ))
             )
             print(
-                f"[complete] {case}: {missing} in {time.time()-t0:.1f}s"
+                f"[complete] {case}: {missing or 'complete'} sampled in "
+                f"{time.time()-t0:.1f}s (write pipelined)"
             )
-            ok += 1
         except Exception as e:  # keep going (`complete_dataset.py:383-403`)
             print(f"[complete] FAILED {case}: {e}")
             failed += 1
 
+    for case, fut in pending:
+        try:
+            fut.result()
+            ok += 1
+        except Exception as e:
+            print(f"[complete] FAILED write {case}: {e}")
+            failed += 1
     pool.shutdown(wait=False)
+    writer.shutdown(wait=True)
     print(f"[complete] done: {ok} ok, {failed} failed")
 
 
