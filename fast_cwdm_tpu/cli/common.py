@@ -134,3 +134,31 @@ def subject_id_from_path(path: str) -> str:
     """`sample.py:62`-style subject id: the case directory name."""
     d = os.path.dirname(path)
     return os.path.basename(d) if d else os.path.basename(path)[:19]
+
+
+class AsyncWriter:
+    """Small write-behind pool: NIfTI gzip encodes cost ~0.5-3 s of host
+    CPU per volume and must overlap the next case's device sampling
+    (mirrors the input-side ThreadedLoader prefetch). ``drain()`` waits and
+    returns the number of failed jobs (printing each error)."""
+
+    def __init__(self, max_workers: int = 2):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        self._pending: list = []
+
+    def submit(self, tag: str, fn, *args, **kwargs) -> None:
+        self._pending.append((tag, self._pool.submit(fn, *args, **kwargs)))
+
+    def drain(self) -> int:
+        failed = 0
+        for tag, fut in self._pending:
+            try:
+                fut.result()
+            except Exception as e:  # noqa: BLE001 — per-case resilience
+                print(f"[write] FAILED {tag}: {e}")
+                failed += 1
+        self._pending.clear()
+        self._pool.shutdown(wait=True)
+        return failed

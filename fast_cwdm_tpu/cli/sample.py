@@ -81,6 +81,19 @@ def main(argv=None) -> None:
     print(f"sampling {len(ds)} cases, contr={args.contr}")
     key = jax.random.PRNGKey(args.seed)
 
+    writer = common.AsyncWriter()
+
+    def write_pair(out_dir, sample_i, target_i):
+        pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+        save(
+            Nifti1Image(sample_i, np.eye(4)),
+            os.path.join(out_dir, "sample.nii.gz"),
+        )
+        save(
+            Nifti1Image(target_i, np.eye(4)),
+            os.path.join(out_dir, "target.nii.gz"),
+        )
+
     for item in ThreadedLoader(ds, num_workers=2):
         t0 = time.time()
         subj = common.subject_id_from_path(item["subj"])
@@ -92,17 +105,13 @@ def main(argv=None) -> None:
         target = batch[args.contr][..., 0][:, :, :, :155]
 
         out_dir = os.path.join(args.output_dir, subj)
-        pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
         for i in range(sample.shape[0]):
-            save(
-                Nifti1Image(sample[i], np.eye(4)),
-                os.path.join(out_dir, "sample.nii.gz"),
+            writer.submit(
+                subj, write_pair, out_dir, sample[i], np.asarray(target[i])
             )
-            save(
-                Nifti1Image(np.asarray(target[i]), np.eye(4)),
-                os.path.join(out_dir, "target.nii.gz"),
-            )
-        print(f"{subj}: saved in {time.time() - t0:.1f}s")
+        print(f"{subj}: sampled in {time.time() - t0:.1f}s (write pipelined)")
+
+    writer.drain()
 
 
 if __name__ == "__main__":

@@ -102,6 +102,17 @@ def main(argv=None) -> None:
     ds = BRATSVolumes(args.data_dir, mode="auto")
     key = jax.random.PRNGKey(args.seed)
     done = skipped = 0
+    writer = common.AsyncWriter()
+
+    def write_sample(sample, src, out_dir, out_name):
+        from fast_cwdm_tpu.data import nifti
+
+        src_img = nifti.load(src)
+        # un-crop to the source geometry (240×240×155 for real BraTS)
+        full = unprocess_volume(sample[..., None], raw_shape=src_img.shape)
+        pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+        save(Nifti1Image(full.astype(np.float32), src_img.affine,
+                         src_img.header), out_name)
 
     for item in ThreadedLoader(ds, num_workers=2):
         missing = item["missing"]
@@ -121,21 +132,18 @@ def main(argv=None) -> None:
         sample = synth(cond, mask_vol, sub)[0]  # (224,224,155)
         sample[sample <= args.threshold] = 0.0  # `sample_auto.py:141`
 
-        from fast_cwdm_tpu.data import nifti
-
         src = item["filedict"][condition_order(missing)[0]]
-        src_img = nifti.load(src)
-        # un-crop to the source geometry (240×240×155 for real BraTS)
-        full = unprocess_volume(sample[..., None], raw_shape=src_img.shape)
         out_dir = os.path.join(args.output_dir, subj)
-        pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
         out_name = os.path.join(out_dir, f"{subj}-{missing}.nii.gz")
-        save(Nifti1Image(full.astype(np.float32), src_img.affine,
-                         src_img.header), out_name)
+        writer.submit(subj, write_sample, sample, src, out_dir, out_name)
         print(f"[auto] {subj}: synthesized {missing} → {out_name}")
         done += 1
 
-    print(f"[auto] completed {done} cases ({skipped} already complete)")
+    failed = writer.drain()
+    print(
+        f"[auto] completed {done - failed} cases "
+        f"({skipped} already complete, {failed} failed)"
+    )
 
 
 if __name__ == "__main__":
