@@ -1,0 +1,83 @@
+"""Device-time measurement via profiler traces.
+
+Wall-clock timing is unusable for sub-40 ms kernels on tunneled TPU
+setups: a single dispatch carries 3-40 ms of transport latency and
+`block_until_ready` does not reliably block (see PERF.md "corrected
+profile"). The only trustworthy numbers are the device-side op events in a
+`jax.profiler` trace; this module packages that protocol:
+
+    from fast_cwdm_tpu.utils.devtime import devtime
+    ms = devtime(jitted_fn, *args)["total_ms"]
+
+`devtime(..., detail=True)` additionally returns per-op totals, which is
+how the PERF.md conv/elementwise budget was produced.
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import os
+import shutil
+import tempfile
+
+import jax
+import numpy as np
+
+__all__ = ["devtime"]
+
+
+def _parse_xspace(path: str):
+    # tensorflow ships the xplane proto; keep the import local so the
+    # framework has no hard tensorflow dependency
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    return xs
+
+
+def devtime(fn, *args, iters: int = 3, detail: bool = False) -> dict:
+    """Run ``fn(*args)`` ``iters`` times under the profiler and return the
+    summed device-op time per iteration in milliseconds.
+
+    Returns ``{"total_ms": float}`` (plus ``"ops"`` with per-op ms when
+    ``detail=True``). On platforms without a TPU device plane (e.g. the CPU
+    test mesh) ``total_ms`` is 0.0.
+    """
+    r = fn(*args)
+    jax.block_until_ready(r)
+    d = tempfile.mkdtemp(prefix="devtime_")
+    try:
+        with jax.profiler.trace(d):
+            for _ in range(iters):
+                r = fn(*args)
+            leaf = jax.tree.leaves(r)[0]
+            np.asarray(jax.device_get(leaf)).ravel()[:1]  # hard sync
+        paths = sorted(
+            glob.glob(os.path.join(d, "plugins/profile/*/*.xplane.pb"))
+        )
+        if not paths:
+            return {"total_ms": 0.0}
+        xs = _parse_xspace(paths[-1])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    tot = 0
+    ops: collections.Counter = collections.Counter()
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                nm = ev_meta.get(ev.metadata_id, "?").split(" = ")[0].strip()
+                ops[nm] += ev.duration_ps
+                tot += ev.duration_ps
+    out = {"total_ms": tot / 1e9 / iters}
+    if detail:
+        out["ops"] = {k: v / 1e9 / iters for k, v in ops.most_common(50)}
+    return out

@@ -62,3 +62,16 @@ def test_fusable_conv_standalone_matches_nnconv():
         {"params": {"kernel": p["kernel"], "bias": p["bias"]}}, x
     )
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_devtime_cpu_smoke():
+    """devtime degrades to total_ms=0.0 without a TPU plane but still runs
+    the function and the profiler round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_cwdm_tpu.utils.devtime import devtime
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    out = devtime(f, jnp.ones((128, 128)), iters=2)
+    assert out["total_ms"] >= 0.0
