@@ -95,7 +95,8 @@ def prepare_condition(
     )
 
 
-def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155):
+def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
+                      mesh=None):
     """One jitted program: scan the full reverse chain, IDWT, clamp [0,1],
     zero non-brain voxels via the first condition volume
     (`scripts/sample.py:104-125`).
@@ -103,6 +104,11 @@ def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155):
     ``params`` are a jit ARGUMENT, not a closure constant — closed-over
     params get embedded in the HLO (hundreds of MB for the production
     model), bloating compiles.
+
+    ``mesh``: optional `jax.sharding.Mesh` — batched multi-chip serving:
+    the condition/mask batch is sharded over the ``data`` axis (one volume
+    per chip group), params replicated; per-volume PRNG keys are split so
+    results are independent of the mesh shape.
     """
 
     @jax.jit
@@ -118,16 +124,30 @@ def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155):
         img = jnp.where(mask_vol == 0, 0.0, img)
         return img
 
-    device_params = jax.device_put(params)
+    if mesh is None:
+        device_params = jax.device_put(params)
 
-    def run(cond, mask_vol, key) -> np.ndarray:
-        img = synth(
-            device_params, jnp.asarray(cond), jnp.asarray(mask_vol), key
-        )
-        img = np.array(img)[..., 0]  # writable host copy, drop channel
+        def run(cond, mask_vol, key) -> np.ndarray:
+            img = synth(
+                device_params, jnp.asarray(cond), jnp.asarray(mask_vol), key
+            )
+            img = np.array(img)[..., 0]  # writable host copy, drop channel
+            return img[:, :, :, :crop_z]
+
+        return run
+
+    from fast_cwdm_tpu.parallel import batch_sharding, replicated
+
+    device_params = jax.device_put(params, replicated(mesh))
+
+    def run_sharded(cond, mask_vol, key) -> np.ndarray:
+        cond = jax.device_put(jnp.asarray(cond), batch_sharding(mesh))
+        mask_vol = jax.device_put(jnp.asarray(mask_vol), batch_sharding(mesh))
+        img = synth(device_params, cond, mask_vol, key)
+        img = np.array(img)[..., 0]
         return img[:, :, :, :crop_z]
 
-    return run
+    return run_sharded
 
 
 def subject_id_from_path(path: str) -> str:
