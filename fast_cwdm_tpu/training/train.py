@@ -70,6 +70,7 @@ def make_train_step(
     sampler: Any = None,
     compute_dtype=None,
     donate: bool = False,
+    with_norms: bool = True,
 ) -> Callable[[TrainState, Any, jax.Array], tuple[TrainState, dict]]:
     """Build the jitted train step.
 
@@ -153,9 +154,16 @@ def make_train_step(
             "t": t,
             "sample_slice": terms["sample_slice"],
             "subband_slices": terms["subband_slices"],
-            "grad_max": _tree_max_abs(grads),
-            "param_max": _tree_max_abs(params),
         }
+        if with_norms:
+            # ~25 ms/step on the production model (two full passes over
+            # params+grads) — the TrainLoop only reads these at
+            # log_interval, so it uses a norms-free step for regular steps
+            metrics["grad_max"] = _tree_max_abs(grads)
+            metrics["param_max"] = _tree_max_abs(params)
+        else:
+            metrics["grad_max"] = jnp.zeros(())
+            metrics["param_max"] = jnp.zeros(())
         return new_state, metrics
 
     return step
