@@ -228,7 +228,8 @@ def save(img: Nifti1Image, path: str, compresslevel: int = 1) -> None:
     if str(path).endswith(".gz"):
         with open(path, "wb") as raw:
             with gzip.GzipFile(
-                fileobj=raw, mode="wb", compresslevel=compresslevel, mtime=0
+                filename="",  # keep the FNAME field out of the header
+                fileobj=raw, mode="wb", compresslevel=compresslevel, mtime=0,
             ) as f:
                 f.write(payload)
     else:

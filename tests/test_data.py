@@ -151,3 +151,38 @@ class TestLoader:
         assert len(out) == 5
         for i, b in enumerate(out):
             np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+
+class TestSaveDeterminism:
+    def test_gzip_output_reproducible_and_loadable(self, tmp_path):
+        """mtime=0 + fixed deflate level → byte-identical re-writes; the
+        payload round-trips through our loader."""
+        import numpy as np
+
+        from fast_cwdm_tpu.data.nifti import Nifti1Image, load, save
+
+        rng = np.random.default_rng(0)
+        vol = rng.random((12, 10, 8)).astype(np.float32)
+        p1 = str(tmp_path / "a.nii.gz")
+        p2 = str(tmp_path / "b.nii.gz")
+        save(Nifti1Image(vol, np.eye(4)), p1)
+        save(Nifti1Image(vol, np.eye(4)), p2)
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+        back = load(p1)
+        np.testing.assert_allclose(np.asarray(back.dataobj), vol)
+
+
+class TestAsyncWriter:
+    def test_drain_counts_failures(self):
+        from fast_cwdm_tpu.cli.common import AsyncWriter
+
+        w = AsyncWriter()
+        done = []
+        w.submit("ok", done.append, 1)
+
+        def boom():
+            raise RuntimeError("disk full")
+
+        w.submit("bad", boom)
+        assert w.drain() == 1
+        assert done == [1]
