@@ -99,6 +99,9 @@ class TrainLoop:
         self.sampler = schedule_sampler or UniformSampler(
             diffusion.num_timesteps
         )
+        # norms every step: measured FREE on the production model (651.8 ms
+        # with vs 650.7 without — XLA overlaps the two abs-max passes), so
+        # one compiled program beats two (PERF.md session 2)
         self.step_fn = make_train_step(
             model,
             diffusion,
@@ -107,20 +110,6 @@ class TrainLoop:
             mode=mode,
             sampler=self.sampler,
             donate=True,
-            with_norms=False,
-        )
-        # norm metrics cost two extra full passes over params+grads
-        # (~25 ms/step on the production model); only the step whose
-        # metrics get logged pays for them
-        self.step_norms_fn = make_train_step(
-            model,
-            diffusion,
-            self.tx,
-            contr=contr,
-            mode=mode,
-            sampler=self.sampler,
-            donate=True,
-            with_norms=True,
         )
         self.key = jax.random.PRNGKey(seed)
         self.state: TrainState | None = None
@@ -223,12 +212,7 @@ class TrainLoop:
             t_data += t1 - t0
 
             self.key, sub = jax.random.split(self.key)
-            fn = (
-                self.step_norms_fn
-                if (step + 1) % self.log_interval == 0
-                else self.step_fn
-            )
-            self.state, metrics = fn(self.state, batch, sub)
+            self.state, metrics = self.step_fn(self.state, batch, sub)
             last_metrics = metrics
             t2 = time.time()
             t_step += t2 - t1
