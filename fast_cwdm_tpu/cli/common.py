@@ -107,8 +107,9 @@ def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
 
     ``mesh``: optional `jax.sharding.Mesh` — batched multi-chip serving:
     the condition/mask batch is sharded over the ``data`` axis (one volume
-    per chip group), params replicated; per-volume PRNG keys are split so
-    results are independent of the mesh shape.
+    per chip group), params replicated. As in the unsharded path, ONE key
+    drives the whole batch, so a volume's noise depends on its batch
+    position (not on the mesh shape — sharded == unsharded, tested).
     """
 
     @jax.jit
@@ -159,26 +160,38 @@ def subject_id_from_path(path: str) -> str:
 class AsyncWriter:
     """Small write-behind pool: NIfTI gzip encodes cost ~0.5-3 s of host
     CPU per volume and must overlap the next case's device sampling
-    (mirrors the input-side ThreadedLoader prefetch). ``drain()`` waits and
-    returns the number of failed jobs (printing each error)."""
+    (mirrors the input-side ThreadedLoader prefetch).
 
-    def __init__(self, max_workers: int = 2):
+    The backlog is BOUNDED (``max_pending``): when sampling outpaces the
+    writers, ``submit`` blocks on the oldest job instead of queueing every
+    ~31 MB volume until the end of the run. ``drain()`` waits for the rest
+    and returns the total number of failed jobs (printing each error).
+    """
+
+    def __init__(self, max_workers: int = 2, max_pending: int = 8):
         from concurrent.futures import ThreadPoolExecutor
 
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
         self._pending: list = []
+        self._max_pending = max_pending
+        self._failed = 0
+
+    def _resolve(self, tag, fut) -> None:
+        try:
+            fut.result()
+        except Exception as e:  # noqa: BLE001 — per-case resilience
+            print(f"[write] FAILED {tag}: {e}")
+            self._failed += 1
 
     def submit(self, tag: str, fn, *args, **kwargs) -> None:
+        while len(self._pending) >= self._max_pending:
+            self._resolve(*self._pending.pop(0))
         self._pending.append((tag, self._pool.submit(fn, *args, **kwargs)))
 
     def drain(self) -> int:
-        failed = 0
         for tag, fut in self._pending:
-            try:
-                fut.result()
-            except Exception as e:  # noqa: BLE001 — per-case resilience
-                print(f"[write] FAILED {tag}: {e}")
-                failed += 1
+            self._resolve(tag, fut)
         self._pending.clear()
         self._pool.shutdown(wait=True)
+        failed, self._failed = self._failed, 0
         return failed

@@ -142,26 +142,28 @@ def main(argv=None) -> None:
     pool = ThreadPoolExecutor(max_workers=2)
     futures = {d: pool.submit(load_case, d) for d in case_dirs[:2]}
 
-    # output stage runs on its own threads: un-crop + gzip of a 240³ f32
-    # volume costs seconds of host time and must overlap the next case's
-    # device sampling just like the input decode does
-    writer = ThreadPoolExecutor(max_workers=2)
-    pending: list = []
+    # output stage runs write-behind: un-crop + gzip of a 240³ f32 volume
+    # costs seconds of host time and must overlap the next case's device
+    # sampling just like the input decode does
+    writer = common.AsyncWriter()
 
-    def write_case(case, case_dir, out_case, missing, sample_np, src_img):
+    def copy_through(case_dir, out_case):
+        """Pass existing files through (`complete_dataset.py:352-367`) —
+        submitted BEFORE synthesis so a failed case still produces a
+        complete pass-through dir (the keep-going contract)."""
         pathlib.Path(out_case).mkdir(parents=True, exist_ok=True)
-        # copy existing files through (`complete_dataset.py:352-367`)
         for f in os.listdir(case_dir):
             shutil.copy2(
                 os.path.join(case_dir, f), os.path.join(out_case, f)
             )
-        if missing is None:
-            return
+
+    def write_case(case, out_case, missing, sample_np, src_img):
         if args.threshold > 0:
             sample_np[sample_np <= args.threshold] = 0.0
         full = unprocess_volume(
             sample_np[..., None], raw_shape=src_img.shape
         )
+        pathlib.Path(out_case).mkdir(parents=True, exist_ok=True)
         save(
             Nifti1Image(
                 full.astype(np.float32), src_img.affine, src_img.header
@@ -169,50 +171,43 @@ def main(argv=None) -> None:
             os.path.join(out_case, f"{case}-{missing}.nii.gz"),
         )
 
+    attempted = 0
     for idx, case_dir in enumerate(case_dirs):
         case = os.path.basename(case_dir)
         # keep two cases in flight
         if idx + 2 < len(case_dirs):
             nxt = case_dirs[idx + 2]
             futures[nxt] = pool.submit(load_case, nxt)
+        out_case = os.path.join(args.output_dir, case)
+        writer.submit(f"{case} (copy)", copy_through, case_dir, out_case)
         try:
             t0 = time.time()
             missing, avail, src_img = futures.pop(case_dir).result()
-            out_case = os.path.join(args.output_dir, case)
-            sample_np = None
-            if missing is not None:
-                synth = get_synth(missing)
-                cond = common.prepare_condition(avail, missing)
-                mask_vol = avail[condition_order(missing)[0]]
-                nonlocal_key = jax.random.fold_in(
-                    key, hash(case) & 0x7FFFFFFF
-                )
-                sample_np = np.asarray(
-                    synth(cond, mask_vol, nonlocal_key)[0]
-                )
-            pending.append(
-                (case, writer.submit(
-                    write_case, case, case_dir, out_case, missing,
-                    sample_np, src_img,
-                ))
+            if missing is None:
+                ok += 1
+                continue
+            attempted += 1
+            synth = get_synth(missing)
+            cond = common.prepare_condition(avail, missing)
+            mask_vol = avail[condition_order(missing)[0]]
+            nonlocal_key = jax.random.fold_in(key, hash(case) & 0x7FFFFFFF)
+            sample_np = np.asarray(synth(cond, mask_vol, nonlocal_key)[0])
+            writer.submit(
+                case, write_case, case, out_case, missing, sample_np, src_img
             )
             print(
-                f"[complete] {case}: {missing or 'complete'} sampled in "
+                f"[complete] {case}: {missing} sampled in "
                 f"{time.time()-t0:.1f}s (write pipelined)"
             )
         except Exception as e:  # keep going (`complete_dataset.py:383-403`)
             print(f"[complete] FAILED {case}: {e}")
             failed += 1
+            attempted -= 1
 
-    for case, fut in pending:
-        try:
-            fut.result()
-            ok += 1
-        except Exception as e:
-            print(f"[complete] FAILED write {case}: {e}")
-            failed += 1
+    write_failed = writer.drain()  # counts copy AND sample-write failures
+    ok += max(0, attempted - write_failed)
+    failed += write_failed
     pool.shutdown(wait=False)
-    writer.shutdown(wait=True)
     print(f"[complete] done: {ok} ok, {failed} failed")
 
 

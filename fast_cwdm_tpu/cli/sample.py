@@ -111,7 +111,10 @@ def main(argv=None) -> None:
             )
         print(f"{subj}: sampled in {time.time() - t0:.1f}s (write pipelined)")
 
-    writer.drain()
+    failed = writer.drain()
+    if failed:
+        print(f"[sample] {failed} write(s) FAILED")
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -156,9 +156,10 @@ def make_train_step(
             "subband_slices": terms["subband_slices"],
         }
         if with_norms:
-            # ~25 ms/step on the production model (two full passes over
-            # params+grads) — the TrainLoop only reads these at
-            # log_interval, so it uses a norms-free step for regular steps
+            # measured FREE on the production model (651.8 ms with vs
+            # 650.7 without: XLA overlaps the two abs-max passes), so the
+            # TrainLoop always uses with_norms=True; False exists for
+            # callers that truly never read the norm metrics
             metrics["grad_max"] = _tree_max_abs(grads)
             metrics["param_max"] = _tree_max_abs(params)
         else:

@@ -60,7 +60,12 @@ def devtime(fn, *args, iters: int = 3, detail: bool = False) -> dict:
         )
         if not paths:
             return {"total_ms": 0.0}
-        xs = _parse_xspace(paths[-1])
+        try:
+            xs = _parse_xspace(paths[-1])
+        except ImportError:
+            # tensorflow (xplane proto) not installed — degrade like the
+            # no-trace case rather than hard-failing
+            return {"total_ms": 0.0}
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

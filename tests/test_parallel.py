@@ -151,12 +151,6 @@ class TestTensorParallel:
         mesh = make_mesh(data=4, sp=2)
         assert dict(mesh.shape) == {"data": 4, "sp": 2}
 
-    def test_dryrun_multichip_entry(self):
-        """The driver's multi-chip hook: full sharded train step over
-        dp x sp x tp."""
-        import __graft_entry__ as ge
-
-        ge.dryrun_multichip(8)
 
 
 class TestShardedSampling:
