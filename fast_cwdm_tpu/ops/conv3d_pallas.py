@@ -333,7 +333,7 @@ def group_stats(x: jax.Array, num_groups: int):
 
 
 def _v4_make_kernel(*, apply_prologue, add_temb, add_skip, tx, pack_n,
-                    unroll=False):
+                    unroll=False, algo="im2col"):
     def kernel(*refs):
         it = iter(refs)
         prev_ref = next(it); cur_ref = next(it); next_ref = next(it)
@@ -389,14 +389,32 @@ def _v4_make_kernel(*, apply_prologue, add_temb, add_skip, tx, pack_n,
                 gate = ((r != 0) | (i > 0)) & ((r != tx + 1) | (i < n - 1))
                 row = jnp.where(gate, row, jnp.zeros_like(row))
             padded = jnp.pad(row, ((1, 1), (1, 1), (0, 0)))
-            k = 0
-            for dy in range(3):
+            if algo == "dzslab":
+                # stage only the 3 dz shifts (im_ref is (Y+2, Z, 3C)); the
+                # dy shifts come FREE as whole-row slices of the slab's
+                # outermost dim feeding 3 K=3C dots
                 for dz in range(3):
-                    im_ref[:, :, k * C : (k + 1) * C] = padded[
-                        dy : dy + Y, dz : dz + Z, :
+                    im_ref[:, :, dz * C : (dz + 1) * C] = padded[
+                        :, dz : dz + Z, :
                     ]
-                    k += 1
-            if pack_n:
+                res = None
+                for dy in range(3):
+                    d = jax.lax.dot_general(
+                        im_ref[dy : dy + Y],
+                        w_ref[dy * 3 * C : (dy + 1) * 3 * C],
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=_F32,
+                    )
+                    res = d if res is None else res + d
+            else:
+                k = 0
+                for dy in range(3):
+                    for dz in range(3):
+                        im_ref[:, :, k * C : (k + 1) * C] = padded[
+                            dy : dy + Y, dz : dz + Z, :
+                        ]
+                        k += 1
+            if algo != "dzslab" and pack_n:
                 res = jax.lax.dot_general(
                     im_ref[:], w_ref[:], (((2,), (0,)), ((), ())),
                     preferred_element_type=_F32,
@@ -405,7 +423,7 @@ def _v4_make_kernel(*, apply_prologue, add_temb, add_skip, tx, pack_n,
                 j = r - dx
 
                 def add_part(j, dx):
-                    if pack_n:
+                    if pack_n or algo == "dzslab":
                         part = res[:, :, dx * Co : (dx + 1) * Co]
                     else:
                         part = jax.lax.dot_general(
@@ -450,7 +468,7 @@ def _v4_make_kernel(*, apply_prologue, add_temb, add_skip, tx, pack_n,
 
 def _conv3d_v4_single(
     x, w_packed, b, gn, temb, skip, *, tx, pack_n, interpret, vmem_mb,
-    unroll=False,
+    unroll=False, algo="im2col",
 ):
     X, Y, Z, C = x.shape
     Co = w_packed.shape[1] // 3
@@ -493,6 +511,7 @@ def _conv3d_v4_single(
         tx=tx,
         pack_n=pack_n,
         unroll=unroll,
+        algo=algo,
     )
     return pl.pallas_call(
         kern,
@@ -503,7 +522,11 @@ def _conv3d_v4_single(
         out_shape=jax.ShapeDtypeStruct((X, Y, Z, Co), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((tx, Y, Z, Co), _F32),
-            pltpu.VMEM((Y, Z, 9 * C), x.dtype),
+            (
+                pltpu.VMEM((Y + 2, Z, 3 * C), x.dtype)
+                if algo == "dzslab"
+                else pltpu.VMEM((Y, Z, 9 * C), x.dtype)
+            ),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 1024 * 1024,
@@ -530,6 +553,7 @@ def conv3d_fused_v4(
     tx: int | None = None,
     pack_n: bool = True,
     unroll: bool = False,
+    algo: str = "im2col",
     interpret: bool = False,
     vmem_mb: int = 100,
 ):
@@ -551,7 +575,7 @@ def conv3d_fused_v4(
         return _conv3d_v4_single(
             xi, w_packed, b, gni, tembi, skipi,
             tx=tx, pack_n=pack_n, interpret=interpret, vmem_mb=vmem_mb,
-            unroll=unroll,
+            unroll=unroll, algo=algo,
         )
 
     def bcast(v, width):

@@ -143,15 +143,24 @@ class TestV4:
         )
         return out + b + temb[bc] + skip
 
-    @pytest.mark.parametrize("pack_n", [True, False])
-    def test_full_epilogue_parity(self, pack_n):
+    @pytest.mark.parametrize(
+        "pack_n,algo,unroll",
+        [
+            (True, "im2col", False),
+            (False, "im2col", False),
+            (True, "im2col", True),
+            (True, "dzslab", False),
+            (True, "dzslab", True),
+        ],
+    )
+    def test_full_epilogue_parity(self, pack_n, algo, unroll):
         from fast_cwdm_tpu.ops.conv3d_pallas import conv3d_fused_v4
 
         x, w, b, mean, inv, scale, bias, temb, skip = self._mk()
         y_ref = self._ref(x, w, b, mean, inv, scale, bias, temb, skip)
         y = conv3d_fused_v4(
             x, w, b, gn=(mean, inv, scale, bias), temb=temb, skip=skip,
-            tx=4, pack_n=pack_n, interpret=True,
+            tx=4, pack_n=pack_n, algo=algo, unroll=unroll, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
 
