@@ -217,3 +217,39 @@ def test_ddim_chain_matches_reference():
             atol=5e-5,
             err_msg=f"ddim diverged at reverse step {k} (t={i})",
         )
+
+
+RESPACE_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "respace_tables_torch.npz"
+)
+
+
+def test_respacing_tables_match_reference():
+    """Non-identity respacing (sections and ddimN strides) vs the executed
+    reference: retained-timestep maps exactly, rebuilt betas to float64
+    precision (`respace.py:7-94`). The reference's 'direct' linear schedule
+    itself breaks below ~50 steps (betas > 1), which is why production uses
+    the 'sampled' schedule — respacing is exercised here on valid bases."""
+    from fast_cwdm_tpu.diffusion import respace
+    from fast_cwdm_tpu.diffusion.schedules import get_named_beta_schedule
+
+    data = np.load(RESPACE_GOLDEN)
+    cases = [
+        (1000, "ddim50", "1000_ddim50"),
+        (1000, [50], "1000_50"),
+        (100, [25, 15, 10], "100_25-15-10"),
+        (100, [10], "100_10"),
+    ]
+    for steps, spec, key in cases:
+        use = respace.space_timesteps(steps, spec)
+        betas = get_named_beta_schedule("linear", steps, "direct")
+        sd = respace.create_spaced_diffusion(use_timesteps=use, betas=betas)
+        np.testing.assert_array_equal(
+            np.asarray(sd.timestep_map), data[f"map_{key}"], err_msg=key
+        )
+        np.testing.assert_allclose(
+            np.asarray(sd.betas, np.float64),
+            data[f"betas_{key}"],
+            rtol=1e-6,
+            err_msg=key,
+        )
