@@ -269,3 +269,57 @@ class TestImagePanels:
         assert "source/t1n" not in captured  # target modality excluded
         for k, v in captured.items():
             assert v.ndim == 2 and np.isfinite(v).all(), k
+
+
+class TestUnconditionalTraining:
+    def test_default_mode_train_and_sample(self, tmp_path):
+        """LIDC-style unconditional path (`lidcloader.py`, mode='default'):
+        single-array batches through the train step, then an unconditional
+        p_sample_loop from the trained params."""
+        import jax.numpy as jnp
+
+        from fast_cwdm_tpu.models import UNetModel
+
+        model = UNetModel(
+            image_size=8,
+            in_channels=8,
+            model_channels=16,
+            out_channels=8,
+            num_res_blocks=1,
+            attention_resolutions=(),
+            channel_mult=(1, 2),
+            dims=3,
+            num_groups=8,
+            resblock_updown=True,
+            bottleneck_attention=False,
+            resample_2d=False,
+        )
+        diffusion = GaussianDiffusion.named(
+            "linear", 4, "sampled", mode="default"
+        )
+        rng = np.random.default_rng(0)
+        batch = jnp.asarray(rng.random((2, 16, 16, 16, 1), np.float32))
+        from fast_cwdm_tpu.ops import wavelet as wv
+
+        x0 = wv.dwt_normalized(batch)
+        params = model.init(
+            jax.random.PRNGKey(0), x0, jnp.zeros((2,), jnp.int32)
+        )["params"]
+        tx = make_optimizer(1e-4)
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, diffusion, tx, mode="default")
+        key = jax.random.PRNGKey(1)
+        for i in range(3):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+        assert np.isfinite(float(metrics["loss"]))
+        assert metrics["mse_wav"].shape == (8,)
+
+        def model_fn(x, t):
+            return model.apply({"params": state.params}, x, t)
+
+        out = diffusion.p_sample_loop(
+            model_fn, (1, 8, 8, 8, 8), jax.random.PRNGKey(2)
+        )
+        assert out.shape == (1, 8, 8, 8, 8)
+        assert np.isfinite(np.asarray(out)).all()
