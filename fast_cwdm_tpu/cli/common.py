@@ -96,7 +96,7 @@ def prepare_condition(
 
 
 def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
-                      mesh=None):
+                      mesh=None, chunk: int | str | None = "auto"):
     """One jitted program: scan the full reverse chain, IDWT, clamp [0,1],
     zero non-brain voxels via the first condition volume
     (`scripts/sample.py:104-125`).
@@ -112,18 +112,55 @@ def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
     position (not on the mesh shape — sharded == unsharded, tested).
     """
 
-    @jax.jit
-    def synth(params, cond: jax.Array, mask_vol: jax.Array, key: jax.Array):
-        def model_fn(x, t):
-            return model.apply({"params": params}, x, t)
+    # very long schedules run as chunked segment scans: a monolithic
+    # 1000-iteration scan program faults the device on this setup, and
+    # chunking measures zero overhead (PERF.md "1000-step classic DDPM").
+    # params stay jit ARGS in the chunked path too (a closure would embed
+    # them as HLO constants), and the chunk loop runs on the host so each
+    # segment is its own device program.
+    if chunk == "auto":
+        chunk = 100 if diffusion.num_timesteps > 200 else None
 
-        b = cond.shape[0]
-        shape = (b, *cond.shape[1:-1], diffusion.target_channels)
-        sample = diffusion.p_sample_loop(model_fn, shape, key, cond=cond)
+    @jax.jit
+    def postprocess(sample, mask_vol):
         img = wv.idwt_normalized(sample, channels=1, wavelet=diffusion.wavelet)
         img = jnp.clip(img, 0.0, 1.0)
-        img = jnp.where(mask_vol == 0, 0.0, img)
-        return img
+        return jnp.where(mask_vol == 0, 0.0, img)
+
+    if chunk is None:
+
+        @jax.jit
+        def synth(params, cond, mask_vol, key):
+            def model_fn(x, t):
+                return model.apply({"params": params}, x, t)
+
+            b = cond.shape[0]
+            shape = (b, *cond.shape[1:-1], diffusion.target_channels)
+            sample = diffusion.p_sample_loop(model_fn, shape, key, cond=cond)
+            return postprocess(sample, mask_vol)
+
+    else:
+
+        @jax.jit
+        def sample_chunk(params, img, ts_c, keys_c, cond):
+            def model_fn(x, t):
+                return model.apply({"params": params}, x, t)
+
+            return diffusion.scan_steps(model_fn, img, ts_c, keys_c, cond=cond)
+
+        def synth(params, cond, mask_vol, key):
+            t_total = diffusion.num_timesteps
+            key_init, key_loop = jax.random.split(key)
+            b = cond.shape[0]
+            shape = (b, *cond.shape[1:-1], diffusion.target_channels)
+            img = jax.random.normal(key_init, shape, jnp.float32)
+            ts = jnp.arange(t_total - 1, -1, -1)
+            keys = jax.random.split(key_loop, t_total)
+            for s in range(0, t_total, chunk):
+                img = sample_chunk(
+                    params, img, ts[s : s + chunk], keys[s : s + chunk], cond
+                )
+            return postprocess(img, mask_vol)
 
     if mesh is None:
         device_params = jax.device_put(params)

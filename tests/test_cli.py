@@ -225,3 +225,41 @@ def test_find_missing_modality(tmp_path):
     case2 = str(tmp_path / "c2")
     _make_case(case2)
     assert find_missing_modality(case2) is None
+
+
+def test_chunked_synthesis_matches_monolithic():
+    """Very long schedules sample as separately-dispatched chunk scans;
+    numerics must equal the single-scan path exactly (same key splitting)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_cwdm_tpu.cli import common
+    from fast_cwdm_tpu.diffusion.gaussian import GaussianDiffusion
+    from fast_cwdm_tpu.models import UNetModel
+
+    model = UNetModel(
+        image_size=8, in_channels=32, model_channels=16, out_channels=8,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+        dims=3, num_groups=8, resblock_updown=True,
+        bottleneck_attention=False, resample_2d=False,
+    )
+    diffusion = GaussianDiffusion.named("linear", 8, "sampled", mode="i2i")
+    rng = np.random.default_rng(1)
+    batch = {
+        m: rng.random((1, 16, 16, 16, 1), np.float32)
+        for m in MODALITIES
+    }
+    cond = common.prepare_condition(batch, "t1c")
+    mask = jnp.asarray(batch["t1n"])
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 32)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    key = jax.random.PRNGKey(9)
+    mono = common.make_synthesis_fn(
+        model, params, diffusion, crop_z=16, chunk=None
+    )(cond, mask, key)
+    chunked = common.make_synthesis_fn(
+        model, params, diffusion, crop_z=16, chunk=3
+    )(cond, mask, key)
+    np.testing.assert_allclose(chunked, mono, atol=1e-6)
