@@ -202,3 +202,10 @@ class TestShardedSampling:
             model, params, diffusion, crop_z=16, mesh=mesh
         )(cond, mask, key)
         np.testing.assert_allclose(sharded, single, atol=1e-5)
+        # dp x sp: volumes split over data AND spatially over sp (GSPMD
+        # inserts the conv/DWT halo exchanges) — same numerics
+        mesh2 = make_mesh(data=2, sp=2)
+        sharded2 = common.make_synthesis_fn(
+            model, params, diffusion, crop_z=16, mesh=mesh2
+        )(cond, mask, key)
+        np.testing.assert_allclose(sharded2, single, atol=1e-5)
