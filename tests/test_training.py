@@ -323,3 +323,56 @@ class TestUnconditionalTraining:
         )
         assert out.shape == (1, 8, 8, 8, 8)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestWavUNetTraining:
+    def test_wunet_train_step(self):
+        """WavUNetModel through the full donated train step (the wavelet
+        up/downsampling variant is trainable, not just a forward surface)."""
+        import jax.numpy as jnp
+
+        from fast_cwdm_tpu.models.wunet import WavUNetModel
+
+        model = WavUNetModel(
+            image_size=16,
+            in_channels=32,
+            model_channels=16,
+            out_channels=8,
+            num_res_blocks=1,
+            attention_resolutions=(),
+            channel_mult=(1, 1),
+            dims=3,
+            num_groups=8,
+            resblock_updown=True,
+            bottleneck_attention=False,
+            resample_2d=False,
+            use_freq=True,
+        )
+        diffusion = GaussianDiffusion.named(
+            "linear", 4, "sampled", mode="i2i"
+        )
+        rng = np.random.default_rng(2)
+        batch = {
+            m: jnp.asarray(rng.random((1, 16, 16, 16, 1), np.float32))
+            for m in MODALITIES
+        }
+        from fast_cwdm_tpu.ops import wavelet as wv
+
+        x0 = jnp.concatenate(
+            [wv.dwt_normalized(batch[m]) for m in MODALITIES], axis=-1
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32)
+        )["params"]
+        tx = make_optimizer(1e-4)
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, diffusion, tx, contr="t1n", mode="i2i")
+        key = jax.random.PRNGKey(3)
+        first = None
+        for i in range(5):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+            if first is None:
+                first = float(metrics["loss"])
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 5
