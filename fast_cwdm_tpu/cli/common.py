@@ -33,6 +33,10 @@ PRODUCTION_OVERRIDES = dict(
     resample_2d=False,
     use_scale_shift_norm=False,
     additive_skips=False,
+    # the training objective is ALWAYS x0-prediction wavelet MSE
+    # (`gaussian_diffusion.py:1084-1166`); sampling must interpret model
+    # output as x_start — the reference's run.sh:134 sets this too
+    predict_xstart=True,
     mode="i2i",
 )
 

@@ -59,6 +59,11 @@ def create_argparser() -> argparse.ArgumentParser:
         out_channels=8,
         bottleneck_attention=False,
         sample_schedule="direct",
+        # the training objective is always x0-prediction (see
+        # diffusion.training_losses); sampling from the resulting
+        # checkpoint needs START_X — the reference's run.sh:134 passes
+        # this flag explicitly, we default it on for bare invocations
+        predict_xstart=True,
     )
     parser = argparse.ArgumentParser()
     add_dict_to_argparser(parser, defaults)

@@ -118,12 +118,17 @@ class GaussianDiffusion:
         cls,
         betas: np.ndarray,
         *,
-        mean_type: MeanType = MeanType.EPSILON,
+        # START_X is the only configuration consistent with
+        # training_losses' x0 objective (the reference's production flags
+        # set predict_xstart=True, run.sh:134); EPSILON remains available
+        # for API parity via the factory's predict_xstart flag
+        mean_type: MeanType = MeanType.START_X,
         var_type: VarType = VarType.FIXED_LARGE,
         loss_type: LossType = LossType.MSE,
         rescale_timesteps: bool = False,
         mode: str = "default",
         wavelet: str = "haar",
+        target_channels: int = 8,
     ) -> "GaussianDiffusion":
         """Precompute all tables in float64 (`gaussian_diffusion.py:160-205`)."""
         betas = np.asarray(betas, dtype=np.float64)
@@ -165,6 +170,7 @@ class GaussianDiffusion:
             rescale_timesteps=rescale_timesteps,
             mode=mode,
             wavelet=wavelet,
+            target_channels=target_channels,
         )
 
     @classmethod
@@ -392,7 +398,11 @@ class GaussianDiffusion:
         scans of ``chunk_size`` steps (identical numerics). Use for very
         long chains (e.g. the classic 1000-step schedule) where a single
         monolithic device program is impractical; equal-size chunks share
-        one compilation.
+        one compilation. NOTE: because ``model_fn`` is a closure, its
+        params are baked into the chunk program as constants and the jit
+        wrapper is rebuilt per call — for production synthesis use
+        `cli.common.make_synthesis_fn`, whose chunked path keeps params as
+        jit arguments and reuses one compiled segment.
         """
         t_total = self.num_timesteps if time is None else time
         key_init, key_loop = jax.random.split(key)
@@ -621,10 +631,7 @@ class GaussianDiffusion:
             model_kwargs=model_kwargs,
         )
         x_ref = x[..., : self.target_channels] if self.mode == "i2i" else x
-        eps = (
-            _extract(self.sqrt_recip_alphas_cumprod, t, x_ref.ndim) * x_ref
-            - out["pred_xstart"]
-        ) / _extract(self.sqrt_recipm1_alphas_cumprod, t, x_ref.ndim)
+        eps = self.predict_eps_from_xstart(x_ref, t, out["pred_xstart"])
         abar_next = _extract(self.alphas_cumprod_next, t, x_ref.ndim)
         mean_pred = (
             out["pred_xstart"] * jnp.sqrt(abar_next)
@@ -731,7 +738,22 @@ class GaussianDiffusion:
 
         Returns ``(terms, model_output, model_output_idwt)`` where
         ``terms['mse_wav']`` is the per-subband (8,) MSE.
+
+        The objective is ALWAYS x0-prediction MSE (the reference trains
+        this regardless of its enums, `gaussian_diffusion.py:1164`), so
+        sampling must be configured with ``mean_type=START_X``
+        (``predict_xstart=True``) — the reference's run.sh:134 does; a
+        mismatched diffusion would train an x0-predictor and then sample
+        it as an epsilon-predictor, yielding silent garbage. KL loss types
+        are likewise not trainable here (enum kept for API parity).
         """
+        if self.mean_type != MeanType.START_X:
+            raise ValueError(
+                "training_losses trains an x0-predictor (wavelet-space MSE)"
+                f" but this diffusion has mean_type={self.mean_type}; build"
+                " it with predict_xstart=True / MeanType.START_X so sampling"
+                " interprets the model output correctly"
+            )
         mode = mode or self.mode
         model_kwargs = model_kwargs or {}
         wavelet = self.wavelet

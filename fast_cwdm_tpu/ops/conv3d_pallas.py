@@ -296,9 +296,15 @@ def conv3d_fused(
         return fn(x, w, b, mean, inv, scale, bias)
     assert x.ndim == 5
     if apply_prologue and mean.ndim == 2:
+        scale_b = (
+            jnp.broadcast_to(scale, mean.shape) if scale.ndim == 1 else scale
+        )
+        bias_b = (
+            jnp.broadcast_to(bias, mean.shape) if bias.ndim == 1 else bias
+        )
         return jax.vmap(
-            lambda xi, mi, vi: fn(xi, w, b, mi, vi, scale, bias)
-        )(x, mean, inv)
+            lambda xi, mi, vi, si, bi: fn(xi, w, b, mi, vi, si, bi)
+        )(x, mean, inv, scale_b, bias_b)
     return jax.vmap(lambda xi: fn(xi, w, b, mean, inv, scale, bias))(x)
 
 

@@ -288,6 +288,10 @@ def dwt3_flat(
     concat (`gaussian_diffusion.py:1131-1140`). ``impl``: "auto" picks the
     Pallas TPU kernel for Haar/C=1, else the XLA slice/add path.
     """
+    if impl == "pallas" and wavelet not in ("haar", "db1"):
+        raise ValueError(
+            f"the Pallas DWT kernel is Haar-only (got wavelet={wavelet!r})"
+        )
     if impl == "pallas" or (
         impl == "auto"
         and x.shape[-1] == 1
@@ -306,6 +310,10 @@ def idwt3_flat(
     wavelet: str = "haar",
     impl: str = "auto",
 ) -> jax.Array:
+    if impl == "pallas" and wavelet not in ("haar", "db1"):
+        raise ValueError(
+            f"the Pallas IDWT kernel is Haar-only (got wavelet={wavelet!r})"
+        )
     if channels == 1 and (
         impl == "pallas"
         or (

@@ -193,3 +193,29 @@ class TestV4:
             tx=4, interpret=True,
         )
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+
+def test_conv3d_fused_per_batch_gn_scale_bias(data):
+    """Per-batch (B, C) scale/bias must be applied per element, not
+    batch-0-broadcast (regression)."""
+    import jax
+
+    from fast_cwdm_tpu.ops.conv3d_pallas import conv3d_fused
+
+    x, w, b = data
+    B, C = x.shape[0], x.shape[-1]
+    key = jax.random.PRNGKey(5)
+    ks = jax.random.split(key, 4)
+    mean = jax.random.normal(ks[0], (B, C)) * 0.1
+    inv = jax.nn.softplus(jax.random.normal(ks[1], (B, C))) + 0.5
+    scale = jax.random.normal(ks[2], (B, C)) * 0.3 + 1.0
+    bias = jax.random.normal(ks[3], (B, C)) * 0.1
+    bc = (slice(None), None, None, None, slice(None))
+    xn = (x - mean[bc]) * inv[bc] * scale[bc] + bias[bc]
+    h = xn * jax.nn.sigmoid(xn)
+    y_ref = jax.lax.conv_general_dilated(
+        h, w, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + b
+    y = conv3d_fused(x, w, b, gn=(mean, inv, scale, bias), interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)

@@ -363,3 +363,44 @@ def test_chunked_sampling_matches_monolithic():
     np.testing.assert_allclose(
         np.asarray(mono), np.asarray(chunked), atol=1e-6
     )
+
+
+class TestConfigurationGuards:
+    def test_training_losses_rejects_epsilon_mean_type(self):
+        """The objective is always x0-prediction; an EPSILON-configured
+        diffusion would sample trained checkpoints as garbage — loud error
+        instead (the reference fails silently; run.sh:134 avoids it with
+        predict_xstart=True)."""
+        import jax
+        import jax.numpy as jnp
+
+        from fast_cwdm_tpu.diffusion.gaussian import (
+            GaussianDiffusion, MeanType,
+        )
+
+        diff = GaussianDiffusion.named(
+            "linear", 4, "sampled", mode="default",
+            mean_type=MeanType.EPSILON,
+        )
+        x = jnp.zeros((1, 8, 8, 8, 1))
+        with pytest.raises(ValueError, match="x0-predictor"):
+            diff.training_losses(
+                lambda a, t: a[..., :8], x, jnp.zeros((1,), jnp.int32),
+                jax.random.PRNGKey(0), mode="default",
+            )
+
+    def test_default_mean_type_is_start_x(self):
+        from fast_cwdm_tpu.diffusion.gaussian import (
+            GaussianDiffusion, MeanType,
+        )
+
+        d = GaussianDiffusion.named("linear", 4, "sampled")
+        assert d.mean_type == MeanType.START_X
+
+    def test_target_channels_constructible(self):
+        from fast_cwdm_tpu.diffusion.gaussian import GaussianDiffusion
+
+        d = GaussianDiffusion.named(
+            "linear", 4, "sampled", target_channels=4
+        )
+        assert d.target_channels == 4
