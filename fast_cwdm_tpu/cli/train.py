@@ -106,10 +106,14 @@ def main(argv=None) -> None:
         dataset = BRATSVolumes(args.data_dir, mode="train")
     logger.log(f"dataset: {len(dataset)} cases from {args.data_dir}")
 
+    import itertools
+
+    epoch_counter = itertools.count()  # reshuffle differently every epoch
     if args.dataset == "lidc-idri":
         # unconditional: batches are plain arrays
         def data():
-            order = np.random.permutation(len(dataset))
+            rng = np.random.default_rng(args.seed + next(epoch_counter))
+            order = rng.permutation(len(dataset))
             buf = []
             for i in order:
                 buf.append(dataset[int(i)])
@@ -119,7 +123,8 @@ def main(argv=None) -> None:
     else:
         def data():
             return iterate_batches(
-                dataset, args.batch_size, shuffle=True, seed=args.seed
+                dataset, args.batch_size, shuffle=True,
+                seed=args.seed + next(epoch_counter),
             )
 
     sampler = create_named_schedule_sampler(

@@ -34,6 +34,8 @@ def clip_and_normalize(img: np.ndarray) -> np.ndarray:
         img, np.quantile(img, 0.001), np.quantile(img, 0.999)
     )
     lo, hi = np.min(img_clipped), np.max(img_clipped)
+    if hi == lo:  # constant (e.g. blank) volume: zeros, matching the
+        return np.zeros_like(img_clipped)  # native C++ path — not NaNs
     return (img_clipped - lo) / (hi - lo)
 
 

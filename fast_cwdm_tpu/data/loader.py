@@ -28,22 +28,39 @@ class ThreadedLoader:
 
     def __iter__(self) -> Iterator:
         idx_q: queue.Queue = queue.Queue()
-        out_q: queue.Queue = queue.Queue(maxsize=self.max_prefetch)
+        out_q: queue.Queue = queue.Queue()
         n = len(self.dataset)
         for i in range(n):
             idx_q.put(i)
         results: dict[int, object] = {}
-        lock = threading.Lock()
         stop = threading.Event()
+        # permits bound TOTAL in-flight items (processing + queued + stashed
+        # in the reorder buffer) — bounding only the queue lets the reorder
+        # buffer grow toward the whole dataset when one early item is slow
+        permits = threading.Semaphore(self.max_prefetch)
 
         def worker():
             while not stop.is_set():
+                # permit BEFORE claiming an index: indices are then claimed
+                # in FIFO order by permit-holding workers, so the smallest
+                # unfinished index always owns a permit and the consumer
+                # can always make progress (acquiring after claiming can
+                # deadlock: a slow early item finishes while stashed later
+                # items hold every permit)
+                permits.acquire()
+                if stop.is_set():
+                    permits.release()
+                    return
                 try:
                     i = idx_q.get_nowait()
                 except queue.Empty:
+                    permits.release()
                     return
-                item = self.dataset[i]
-                out_q.put((i, item))
+                try:
+                    out_q.put((i, self.dataset[i], None))
+                except Exception as e:  # noqa: BLE001 — surfaced below
+                    # a silent worker death would hang the consumer forever
+                    out_q.put((i, None, e))
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -55,15 +72,21 @@ class ThreadedLoader:
             next_idx = 0
             received = 0
             while received < n:
-                i, item = out_q.get()
+                i, item, err = out_q.get()
                 received += 1
-                with lock:
-                    results[i] = item
+                if err is not None:
+                    raise RuntimeError(
+                        f"dataset item {i} failed to load"
+                    ) from err
+                results[i] = item
                 while next_idx in results:
                     yield results.pop(next_idx)
+                    permits.release()
                     next_idx += 1
         finally:
             stop.set()
+            for _ in threads:  # unblock workers parked on permits.acquire
+                permits.release()
 
 
 def prefetch_to_device(

@@ -119,7 +119,6 @@ def avg_pool_nd(x: jax.Array, window: Sequence[int]) -> jax.Array:
     """Average pooling over the spatial dims of channels-last input
     (`nn.py:44-52`). ``window`` has one entry per spatial dim."""
     window = tuple(window)
-    dims = (1,) + window + (1,)
     return nn.avg_pool(x, window_shape=window, strides=window)
 
 

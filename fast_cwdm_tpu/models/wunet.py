@@ -281,7 +281,7 @@ class WavUNetModel(nn.Module):
                     emb_channels=ted,
                     out_channels=mult * self.model_channels,
                     name=f"in_{bidx}_res",
-                )(h, emb, train=train)
+                )(h, emb, None, train)
                 ch = mult * self.model_channels
                 if ds in self.attention_resolutions:
                     h = self._attention(ch, self.num_heads, f"in_{bidx}_attn")(h)
@@ -296,7 +296,7 @@ class WavUNetModel(nn.Module):
                     out_channels=ch,
                     down=True,
                     name=f"in_{bidx}_down",
-                )(h, emb, train=train)
+                )(h, emb, None, train)
             elif self.use_freq:
                 h, skip7 = wav_down(h, self.wavelet)
             else:
@@ -325,12 +325,12 @@ class WavUNetModel(nn.Module):
 
         # ------------------------- bottleneck -------------------------
         h, _ = self._resblock(channels=ch, emb_channels=ted, name="mid_res0")(
-            h, emb, train=train
+            h, emb, None, train
         )
         if self.bottleneck_attention:
             h = self._attention(ch, self.num_heads, "mid_attn")(h)
         h, _ = self._resblock(channels=ch, emb_channels=ted, name="mid_res1")(
-            h, emb, train=train
+            h, emb, None, train
         )
 
         # ------------------------- decoder -------------------------
@@ -351,7 +351,7 @@ class WavUNetModel(nn.Module):
                         out_channels=mid_ch,
                         name=f"out_{bidx}_res",
                     )
-                    h, _ = res(h, emb, train=train)
+                    h, _ = res(h, emb, None, train)
                     attn = None
                     if ds in self.attention_resolutions:
                         attn = self._attention(
@@ -365,7 +365,7 @@ class WavUNetModel(nn.Module):
                         # reference double-run: same module instances →
                         # shared flax params, executed a second time
                         res, attn = prev_mods
-                        h, _ = res(h, emb, train=train)
+                        h, _ = res(h, emb, None, train)
                         if attn is not None:
                             h = attn(h)
                     if self.resblock_updown:
@@ -375,7 +375,7 @@ class WavUNetModel(nn.Module):
                             out_channels=ch,
                             up=True,
                             name=f"out_{bidx}_up",
-                        )(h, emb, highs=skip7, train=train)
+                        )(h, emb, skip7, train)
                     elif self.use_freq:
                         if self.conv_resample:
                             skip7 = SkipConv(
@@ -405,7 +405,7 @@ class WavUNetModel(nn.Module):
             h, _ = self._resblock(
                 channels=ch, emb_channels=ted, out_channels=ch,
                 name=f"out_res_{i}",
-            )(h, emb, train=train)
+            )(h, emb, None, train)
 
         h = GroupNorm32(self.num_groups, name="out_norm")(h)
         h = nn.silu(h)

@@ -33,17 +33,25 @@ def setup_distributed() -> None:
     """Multi-host init (`jax.distributed`); single-process is a no-op.
 
     Parity surface for `dist_util.setup_dist` (`dist_util.py:20-53`) minus
-    the port/rank bookkeeping JAX handles itself.
+    the port/rank bookkeeping JAX handles itself. MUST run before any call
+    that initializes the XLA backend (e.g. `jax.process_count()` /
+    `jax.devices()`), so the env-var check comes first and initialize() is
+    simply idempotent-guarded.
     """
-    try:
-        if jax.process_count() > 1:
-            return  # already initialized
-    except RuntimeError:
-        pass
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
+    if (
+        "JAX_COORDINATOR_ADDRESS" not in os.environ
+        and "COORDINATOR_ADDRESS" not in os.environ
+    ):
+        return  # single-host launch
+    try:
         jax.distributed.initialize()
+    except RuntimeError as e:
+        # already initialized (or backends already up in-process): surface
+        # only genuinely new failures
+        if "already" not in str(e).lower():
+            raise
 
 
 def make_mesh(

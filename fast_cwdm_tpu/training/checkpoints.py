@@ -75,17 +75,26 @@ class _AsyncWriter:
 
         self._threading = threading
         self._thread = None
+        self._error: BaseException | None = None
 
     def wait(self):
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
 
     def submit(self, fn, *args):
         self.wait()
-        self._thread = self._threading.Thread(
-            target=fn, args=args, daemon=True
-        )
+
+        def run():
+            try:
+                fn(*args)
+            except BaseException as e:  # surfaced on the next wait/submit
+                self._error = e
+
+        self._thread = self._threading.Thread(target=run, daemon=True)
         self._thread.start()
 
 
@@ -95,6 +104,20 @@ _async_writer = _AsyncWriter()
 def wait_for_pending_saves():
     """Block until any in-flight async checkpoint write completes."""
     _async_writer.wait()
+
+
+def _write_blob(
+    path: str, host_payload: dict[str, Any], config: dict[str, Any] | None
+) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    blob = serialization.to_bytes(host_payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    if config is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(config, f, indent=2, default=str)
 
 
 def save_checkpoint(
@@ -107,25 +130,15 @@ def save_checkpoint(
     """msgpack-serialize a pytree payload (+ config sidecar JSON).
 
     ``async_write=True`` copies to host synchronously, then serializes and
-    writes on a background thread (one in flight at a time)."""
+    writes on a background thread (one in flight at a time; a failed write
+    raises on the next checkpoint operation)."""
     host_payload = _to_host(payload)
 
-    def write():
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        blob = serialization.to_bytes(host_payload)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
-        if config is not None:
-            with open(path + ".json", "w") as f:
-                json.dump(config, f, indent=2, default=str)
-
     if async_write:
-        _async_writer.submit(write)
+        _async_writer.submit(_write_blob, path, host_payload, config)
     else:
         _async_writer.wait()
-        write()
+        _write_blob(path, host_payload, config)
 
 
 def load_checkpoint(path: str, template: dict[str, Any]) -> dict[str, Any]:
@@ -187,10 +200,16 @@ def find_best_checkpoint(ckpt_dir: str, contr: str, dataset: str = "brats"):
 
 
 def parse_resume_step_from_filename(filename: str) -> int:
-    """Trailing-digit scrape parity (`train_util.py:517-537`)."""
+    """Step extraction from step-stamped names
+    (``brats_{contr}_{step:06d}_{schedule}_{steps}``). The reference
+    scrapes TRAILING digits (`train_util.py:517-537`) which, applied to
+    these names, would return diffusion_steps — here the zero-padded step
+    field is matched explicitly; BEST checkpoints (no step field) and
+    unknown names return 0 (the authoritative step also rides INSIDE the
+    checkpoint payload and overrides this on load)."""
     stem = os.path.basename(filename).rsplit(".", 1)[0]
-    digits = re.findall(r"(\d+)", stem)
-    return int(digits[-1]) if digits else 0
+    m = re.search(r"_(\d{6})_", stem)
+    return int(m.group(1)) if m else 0
 
 
 def save_if_best(
@@ -212,24 +231,43 @@ def save_if_best(
     if contr in best and loss >= best[contr]:
         return False
     _async_writer.wait()
-    # delete previous best files for this modality
-    for old in glob(os.path.join(ckpt_dir, f"{dataset}_{contr}_BEST_*.ckpt")):
-        for p in (old, old + ".json"):
-            if os.path.exists(p):
-                os.remove(p)
     name = best_checkpoint_name(contr, sample_schedule, diffusion_steps, dataset)
-    if opt_payload is not None:
-        save_checkpoint(
-            os.path.join(ckpt_dir, f"opt_best_{contr}.ckpt"),
-            opt_payload,
-            async_write=async_write,
+    new_main = os.path.abspath(os.path.join(ckpt_dir, name))
+    old_files = [
+        old
+        for old in glob(
+            os.path.join(ckpt_dir, f"{dataset}_{contr}_BEST_*.ckpt")
         )
-    save_checkpoint(
-        os.path.join(ckpt_dir, name), payload, config,
-        async_write=async_write,
-    )
-    best[contr] = float(loss)
-    save_best_losses(ckpt_dir, best)
+        if os.path.abspath(old) != new_main
+    ]
+    # device→host copies happen on the caller's thread (the arrays may be
+    # donated by the next step); everything else runs in ONE job that only
+    # deletes the previous best and commits the ledger AFTER the new files
+    # are durably on disk — a failed write can no longer lose the old best
+    # or record a phantom loss
+    host_payload = _to_host(payload)
+    host_opt = _to_host(opt_payload) if opt_payload is not None else None
+
+    def job():
+        if host_opt is not None:
+            _write_blob(
+                os.path.join(ckpt_dir, f"opt_best_{contr}.ckpt"),
+                host_opt,
+                None,
+            )
+        _write_blob(new_main, host_payload, config)
+        for old in old_files:
+            for p in (old, old + ".json"):
+                if os.path.exists(p):
+                    os.remove(p)
+        cur = load_best_losses(ckpt_dir)
+        cur[contr] = float(loss)
+        save_best_losses(ckpt_dir, cur)
+
+    if async_write:
+        _async_writer.submit(job)
+    else:
+        job()
     return True
 
 

@@ -38,9 +38,19 @@ SUBBAND_NAMES = ("lll", "llh", "lhl", "lhh", "hll", "hlh", "hhl", "hhh")
 
 def _infinite(iterable_factory: Callable[[], Iterable]) -> Iterator:
     """Infinite-epoch iterator (`train_util.py:190-197`'s StopIteration
-    restart, without the exception control flow)."""
+    restart, without the exception control flow). Raises on an empty epoch
+    — a one-shot iterator passed instead of a factory would otherwise
+    busy-spin forever."""
     while True:
-        yield from iterable_factory()
+        count = 0
+        for item in iterable_factory():
+            count += 1
+            yield item
+        if count == 0:
+            raise ValueError(
+                "data source yielded no items — pass a CALLABLE factory "
+                "(a bare iterator is exhausted after its first epoch)"
+            )
 
 
 class TrainLoop:
@@ -177,6 +187,10 @@ class TrainLoop:
         self.state = self.state.replace(
             params=loaded["params"], ema_params=loaded["ema_params"]
         )
+        # the step INSIDE the checkpoint is authoritative (filename parsing
+        # is a fallback for reference-style names without a payload step)
+        if int(loaded.get("step", 0) or 0) > 0:
+            self.resume_step = int(loaded["step"])
         opt_path = os.path.join(
             os.path.dirname(path), f"opt_best_{self.contr}.ckpt"
         )
@@ -208,6 +222,7 @@ class TrainLoop:
             if self.state is None:
                 self.state = self._init_state(batch)
                 self._apply_resume()
+                step = self.resume_step  # may be updated from the payload
             t1 = time.time()
             t_data += t1 - t0
 

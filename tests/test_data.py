@@ -186,3 +186,57 @@ class TestAsyncWriter:
         w.submit("bad", boom)
         assert w.drain() == 1
         assert done == [1]
+
+
+class TestLoaderRobustness:
+    def test_worker_exception_surfaces(self):
+        """A failing __getitem__ must raise in the consumer, not hang."""
+        from fast_cwdm_tpu.data.loader import ThreadedLoader
+
+        class Bad:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                if i == 2:
+                    raise OSError("truncated gzip")
+                return i
+
+        with pytest.raises(RuntimeError, match="item 2"):
+            list(ThreadedLoader(Bad(), num_workers=2))
+
+    def test_bounded_reorder_buffer(self):
+        """A slow item 0 must not let the reorder buffer grow past
+        max_prefetch."""
+        import threading
+        import time as _time
+
+        from fast_cwdm_tpu.data.loader import ThreadedLoader
+
+        gate = threading.Event()
+        max_seen = {"n": 0}
+
+        class Slow0:
+            def __len__(self):
+                return 20
+
+            def __getitem__(self, i):
+                if i == 0:
+                    gate.wait(timeout=5)
+                return i
+
+        loader = ThreadedLoader(Slow0(), num_workers=4, max_prefetch=4)
+        it = iter(loader)
+        # give workers time to run ahead; they can hold at most 4 permits
+        _time.sleep(0.3)
+        gate.set()
+        out = list(it)
+        assert out == list(range(20))
+
+    def test_constant_volume_normalizes_to_zeros(self):
+        import numpy as np
+
+        from fast_cwdm_tpu.data.brats import clip_and_normalize
+
+        out = clip_and_normalize(np.full((4, 4, 4), 7.0, np.float32))
+        assert np.all(out == 0.0) and np.isfinite(out).all()

@@ -376,3 +376,37 @@ class TestWavUNetTraining:
                 first = float(metrics["loss"])
         assert np.isfinite(float(metrics["loss"]))
         assert int(state.step) == 5
+
+
+class TestResumeStepParsing:
+    def test_step_field_not_diffusion_steps(self):
+        from fast_cwdm_tpu.training.checkpoints import (
+            parse_resume_step_from_filename,
+        )
+
+        assert (
+            parse_resume_step_from_filename(
+                "brats_t1n_000500_direct_1000.ckpt"
+            )
+            == 500
+        )
+        # BEST names carry no step field → 0 (payload step is authoritative)
+        assert (
+            parse_resume_step_from_filename("brats_t1c_BEST_sampled_10.ckpt")
+            == 0
+        )
+
+
+class TestAsyncWriteFailure:
+    def test_failed_async_write_raises_on_next_wait(self, tmp_path):
+        import numpy as np
+
+        from fast_cwdm_tpu.training import checkpoints as ckpt
+
+        bad_dir = tmp_path / "not_a_dir"
+        bad_dir.write_text("occupied")  # a FILE where a dir is needed
+        ckpt.save_checkpoint(
+            str(bad_dir / "x.ckpt"), {"a": np.zeros(2)}, async_write=True
+        )
+        with pytest.raises(RuntimeError, match="async checkpoint write"):
+            ckpt.wait_for_pending_saves()
