@@ -208,8 +208,13 @@ def parse_resume_step_from_filename(filename: str) -> int:
     unknown names return 0 (the authoritative step also rides INSIDE the
     checkpoint payload and overrides this on load)."""
     stem = os.path.basename(filename).rsplit(".", 1)[0]
-    m = re.search(r"_(\d{6})_", stem)
-    return int(m.group(1)) if m else 0
+    m = re.search(r"_(\d{6})_", stem)  # brats_{contr}_{step:06d}_{sched}_{T}
+    if m:
+        return int(m.group(1))
+    m = re.fullmatch(r"opt(\d{6,})", stem)  # legacy opt{step:06d}
+    if m:
+        return int(m.group(1))
+    return 0
 
 
 def save_if_best(

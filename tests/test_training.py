@@ -155,7 +155,8 @@ class TestCheckpoints:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_parse_resume_step(self):
-        assert parse_resume_step_from_filename("brats_t1n_004200_direct_1000.ckpt") == 1000
+        # the STEP field, not the trailing diffusion-steps suffix
+        assert parse_resume_step_from_filename("brats_t1n_004200_direct_1000.ckpt") == 4200
         assert parse_resume_step_from_filename("opt012345.pt") == 12345
 
 
