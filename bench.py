@@ -112,7 +112,10 @@ def main():
         def sample_fused(params, noise, cond, key):
             t_total = diffusion.num_timesteps
             ts = jnp.arange(t_total - 1, -1, -1)
-            keys = jax.random.split(key, t_total)
+            # match p_sample_loop's convention (key -> (init, loop); step
+            # keys from loop) so chunked == unchunked bit-for-bit
+            _, key_loop = jax.random.split(key)
+            keys = jax.random.split(key_loop, t_total)
             img = noise
             for s in range(0, t_total, args.chunk):
                 img = sample_chunk(

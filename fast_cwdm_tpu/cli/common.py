@@ -66,25 +66,44 @@ def init_params(model, key=None, batch: int = 1):
 
 def load_params(path: str, model, *, use_ema: bool = False):
     """Load sampling params from a framework ``.ckpt`` or reference-format
-    torch ``.pt``."""
+    torch ``.pt``. ``use_ema`` that cannot be honored (no EMA shadows in
+    the file) is reported, never silently ignored."""
     if path.endswith(".pt"):
         from fast_cwdm_tpu.training import bridge
 
+        if use_ema:
+            print(
+                f"[load_params] WARNING: {path} is a torch state_dict with "
+                "no EMA shadows; using the raw parameters"
+            )
         return bridge.load_torch_unet(path, model)
     template_params = init_params(model)
-    template = {
-        "params": template_params,
-        "ema_params": (),
-        "step": 0,
-    }
-    try:
-        loaded = ckpt.load_checkpoint(path, template)
-    except Exception:
-        # checkpoints saved with EMA shadows need a matching template
-        template["ema_params"] = (template_params,)
-        loaded = ckpt.load_checkpoint(path, template)
-    if use_ema and loaded.get("ema_params"):
-        return loaded["ema_params"][0]
+    loaded = None
+    # checkpoints may carry 0..N EMA shadows; flax from_bytes is
+    # length-strict for tuples, so probe matching templates
+    for n_ema in (0, 1, 2, 3):
+        template = {
+            "params": template_params,
+            "ema_params": (template_params,) * n_ema,
+            "step": 0,
+        }
+        try:
+            loaded = ckpt.load_checkpoint(path, template)
+            break
+        except Exception:
+            continue
+    if loaded is None:
+        raise ValueError(
+            f"could not deserialize {path} with 0-3 EMA shadows — "
+            "incompatible checkpoint layout"
+        )
+    if use_ema:
+        if loaded.get("ema_params"):
+            return loaded["ema_params"][0]
+        print(
+            f"[load_params] WARNING: {path} has no EMA shadows; "
+            "using the raw parameters"
+        )
     return loaded["params"]
 
 
@@ -100,7 +119,8 @@ def prepare_condition(
 
 
 def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
-                      mesh=None, chunk: int | str | None = "auto"):
+                      mesh=None, chunk: int | str | None = "auto",
+                      sampler: str = "ddpm"):
     """One jitted program: scan the full reverse chain, IDWT, clamp [0,1],
     zero non-brain voxels via the first condition volume
     (`scripts/sample.py:104-125`).
@@ -122,8 +142,12 @@ def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
     # params stay jit ARGS in the chunked path too (a closure would embed
     # them as HLO constants), and the chunk loop runs on the host so each
     # segment is its own device program.
+    if sampler not in ("ddpm", "ddim"):
+        raise ValueError(f"sampler must be ddpm or ddim, got {sampler!r}")
     if chunk == "auto":
         chunk = 100 if diffusion.num_timesteps > 200 else None
+    if sampler == "ddim":
+        chunk = None  # the DDIM chain is short by construction
 
     @jax.jit
     def postprocess(sample, mask_vol):
@@ -140,7 +164,12 @@ def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
 
             b = cond.shape[0]
             shape = (b, *cond.shape[1:-1], diffusion.target_channels)
-            sample = diffusion.p_sample_loop(model_fn, shape, key, cond=cond)
+            loop = (
+                diffusion.ddim_sample_loop
+                if sampler == "ddim"
+                else diffusion.p_sample_loop
+            )
+            sample = loop(model_fn, shape, key, cond=cond)
             return postprocess(sample, mask_vol)
 
     else:

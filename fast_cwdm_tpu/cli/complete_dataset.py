@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-MODALITIES = ("t1n", "t1c", "t2w", "t2f")
+from fast_cwdm_tpu.diffusion.gaussian import MODALITIES
 
 
 def find_missing_modality(case_dir: str) -> str | None:
@@ -144,8 +144,10 @@ def main(argv=None) -> None:
 
     # output stage runs write-behind: un-crop + gzip of a 240³ f32 volume
     # costs seconds of host time and must overlap the next case's device
-    # sampling just like the input decode does
+    # sampling just like the input decode does. Copies and sample writes
+    # use separate pools so their failures are accounted separately.
     writer = common.AsyncWriter()
+    copier = common.AsyncWriter()
 
     def copy_through(case_dir, out_case):
         """Pass existing files through (`complete_dataset.py:352-367`) —
@@ -179,22 +181,30 @@ def main(argv=None) -> None:
             nxt = case_dirs[idx + 2]
             futures[nxt] = pool.submit(load_case, nxt)
         out_case = os.path.join(args.output_dir, case)
-        writer.submit(f"{case} (copy)", copy_through, case_dir, out_case)
+        copier.submit(f"{case} (copy)", copy_through, case_dir, out_case)
+        sampled_this_case = False
         try:
             t0 = time.time()
             missing, avail, src_img = futures.pop(case_dir).result()
             if missing is None:
                 ok += 1
                 continue
-            attempted += 1
             synth = get_synth(missing)
             cond = common.prepare_condition(avail, missing)
             mask_vol = avail[condition_order(missing)[0]]
-            nonlocal_key = jax.random.fold_in(key, hash(case) & 0x7FFFFFFF)
+            # stable digest — hash() is salted per process, which would
+            # break --seed reproducibility across runs
+            import zlib
+
+            nonlocal_key = jax.random.fold_in(
+                key, zlib.crc32(case.encode()) & 0x7FFFFFFF
+            )
             sample_np = np.asarray(synth(cond, mask_vol, nonlocal_key)[0])
             writer.submit(
                 case, write_case, case, out_case, missing, sample_np, src_img
             )
+            attempted += 1
+            sampled_this_case = True
             print(
                 f"[complete] {case}: {missing} sampled in "
                 f"{time.time()-t0:.1f}s (write pipelined)"
@@ -202,11 +212,12 @@ def main(argv=None) -> None:
         except Exception as e:  # keep going (`complete_dataset.py:383-403`)
             print(f"[complete] FAILED {case}: {e}")
             failed += 1
-            attempted -= 1
+            assert not sampled_this_case  # failures happen before submit
 
-    write_failed = writer.drain()  # counts copy AND sample-write failures
+    write_failed = writer.drain()
+    copy_failed = copier.drain()
     ok += max(0, attempted - write_failed)
-    failed += write_failed
+    failed += write_failed + copy_failed
     pool.shutdown(wait=False)
     print(f"[complete] done: {ok} ok, {failed} failed")
 

@@ -14,7 +14,7 @@ import shutil
 
 import numpy as np
 
-MODALITIES = ("t1n", "t1c", "t2w", "t2f")
+from fast_cwdm_tpu.diffusion.gaussian import MODALITIES
 
 
 def main(argv=None) -> None:

@@ -204,6 +204,8 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     if args.mode == "direct":
+        if not args.sample_dir:
+            p.error("--sample_dir is required for --mode=direct")
         report = evaluate_cases(args.sample_dir)
     else:
         setup_nnunet_environment(args.work_dir)

@@ -75,7 +75,10 @@ def main(argv=None) -> None:
         cfg["timestep_respacing"] = f"ddim{args.sampling_steps}"
     model, diffusion = common.build_model_and_diffusion(cfg)
     params = common.load_params(args.model_path, model, use_ema=args.use_ema)
-    synth = common.make_synthesis_fn(model, params, diffusion)
+    synth = common.make_synthesis_fn(
+        model, params, diffusion,
+        sampler="ddim" if args.use_ddim else "ddpm",
+    )
 
     ds = BRATSVolumes(args.data_dir, mode="eval")
     print(f"sampling {len(ds)} cases, contr={args.contr}")

@@ -92,6 +92,13 @@ class CSVOutput:
             if osp.exists(self.path):
                 with open(self.path) as f:
                     rows = list(_csv.DictReader(f))
+            # a pre-existing file (resumed run) may carry columns the new
+            # run hasn't produced yet — keep them, or DictWriter raises on
+            # the old rows and kills training at its first log dump
+            for r in rows:
+                for k in r:
+                    if k not in self.keys:
+                        self.keys.append(k)
             with open(self.path, "w", newline="") as f:
                 w = _csv.DictWriter(f, fieldnames=self.keys)
                 w.writeheader()

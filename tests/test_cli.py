@@ -263,3 +263,51 @@ def test_chunked_synthesis_matches_monolithic():
         model, params, diffusion, crop_z=16, chunk=3
     )(cond, mask, key)
     np.testing.assert_allclose(chunked, mono, atol=1e-6)
+
+
+def test_ddim_sampler_selection():
+    """--use_ddim routes through ddim_sample_loop (deterministic for
+    eta=0), not ancestral DDPM."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_cwdm_tpu.cli import common
+    from fast_cwdm_tpu.diffusion.gaussian import GaussianDiffusion
+    from fast_cwdm_tpu.models import UNetModel
+
+    model = UNetModel(
+        image_size=8, in_channels=32, model_channels=16, out_channels=8,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+        dims=3, num_groups=8, resblock_updown=True,
+        bottleneck_attention=False, resample_2d=False,
+    )
+    diffusion = GaussianDiffusion.named("linear", 4, "sampled", mode="i2i")
+    rng = np.random.default_rng(4)
+    batch = {m: rng.random((1, 16, 16, 16, 1), np.float32) for m in MODALITIES}
+    cond = common.prepare_condition(batch, "t1c")
+    mask = jnp.asarray(batch["t1n"])
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 32)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    key = jax.random.PRNGKey(11)
+    calls = []
+    orig = GaussianDiffusion.ddim_sample_loop
+
+    def spy(self, *a, **k):
+        calls.append("ddim")
+        return orig(self, *a, **k)
+
+    GaussianDiffusion.ddim_sample_loop = spy
+    try:
+        ddim = common.make_synthesis_fn(
+            model, params, diffusion, crop_z=16, sampler="ddim"
+        )(cond, mask, key)
+        ddpm = common.make_synthesis_fn(model, params, diffusion, crop_z=16)(
+            cond, mask, key
+        )
+    finally:
+        GaussianDiffusion.ddim_sample_loop = orig
+    assert calls == ["ddim"]  # ddim path used once, ddpm path not routed
+    assert ddim.shape == ddpm.shape
+    assert np.isfinite(ddim).all() and np.isfinite(ddpm).all()
