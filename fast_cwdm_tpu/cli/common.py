@@ -77,8 +77,23 @@ def load_params(path: str, model, *, use_ema: bool = False):
                 "no EMA shadows; using the raw parameters"
             )
         return bridge.load_torch_unet(path, model)
+    # read the blob once so IO problems (missing file, permissions,
+    # truncation at the OS level) surface as themselves, not as a bogus
+    # "incompatible layout" error from the template probe below
+    ckpt.wait_for_pending_saves()
+    with open(path, "rb") as f:
+        blob = f.read()
+    from flax import serialization
+
+    try:
+        from msgpack.exceptions import UnpackException
+    except ImportError:  # pragma: no cover
+        UnpackException = ValueError
+    deser_errors = (ValueError, TypeError, KeyError, IndexError, UnpackException)
+
     template_params = init_params(model)
     loaded = None
+    last_err: Exception | None = None
     # checkpoints may carry 0..N EMA shadows; flax from_bytes is
     # length-strict for tuples, so probe matching templates
     for n_ema in (0, 1, 2, 3):
@@ -88,15 +103,16 @@ def load_params(path: str, model, *, use_ema: bool = False):
             "step": 0,
         }
         try:
-            loaded = ckpt.load_checkpoint(path, template)
+            loaded = serialization.from_bytes(template, blob)
             break
-        except Exception:
+        except deser_errors as e:
+            last_err = e  # layout mismatch / corrupt msgpack — keep probing
             continue
     if loaded is None:
         raise ValueError(
             f"could not deserialize {path} with 0-3 EMA shadows — "
             "incompatible checkpoint layout"
-        )
+        ) from last_err
     if use_ema:
         if loaded.get("ema_params"):
             return loaded["ema_params"][0]
@@ -244,14 +260,14 @@ class AsyncWriter:
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
         self._pending: list = []
         self._max_pending = max_pending
-        self._failed = 0
+        self._failed_tags: list[str] = []
 
     def _resolve(self, tag, fut) -> None:
         try:
             fut.result()
         except Exception as e:  # noqa: BLE001 — per-case resilience
             print(f"[write] FAILED {tag}: {e}")
-            self._failed += 1
+            self._failed_tags.append(tag)
 
     def submit(self, tag: str, fn, *args, **kwargs) -> None:
         while len(self._pending) >= self._max_pending:
@@ -259,9 +275,15 @@ class AsyncWriter:
         self._pending.append((tag, self._pool.submit(fn, *args, **kwargs)))
 
     def drain(self) -> int:
+        return len(self.drain_failed())
+
+    def drain_failed(self) -> list[str]:
+        """Wait for all jobs; return the tags of the failed ones (so callers
+        can do per-case accounting instead of double-counting a case whose
+        write and copy both fail)."""
         for tag, fut in self._pending:
             self._resolve(tag, fut)
         self._pending.clear()
         self._pool.shutdown(wait=True)
-        failed, self._failed = self._failed, 0
+        failed, self._failed_tags = self._failed_tags, []
         return failed

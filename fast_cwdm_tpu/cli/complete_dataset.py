@@ -115,7 +115,11 @@ def main(argv=None) -> None:
         if os.path.isdir(d)
     )
     print(f"[complete] {len(case_dirs)} cases")
-    ok = failed = 0
+    # per-case accounting: a case is failed if its synchronous stage raises
+    # OR its async sample-write fails OR its async copy-through fails —
+    # never counted twice (the reference keeps a simple ok/failed pair,
+    # `complete_dataset.py:383-403`, but runs everything synchronously)
+    failed_cases: set[str] = set()
 
     def load_case(case_dir: str):
         """Host-side work for one case (runs on a prefetch thread so NIfTI
@@ -173,7 +177,6 @@ def main(argv=None) -> None:
             os.path.join(out_case, f"{case}-{missing}.nii.gz"),
         )
 
-    attempted = 0
     for idx, case_dir in enumerate(case_dirs):
         case = os.path.basename(case_dir)
         # keep two cases in flight
@@ -181,13 +184,11 @@ def main(argv=None) -> None:
             nxt = case_dirs[idx + 2]
             futures[nxt] = pool.submit(load_case, nxt)
         out_case = os.path.join(args.output_dir, case)
-        copier.submit(f"{case} (copy)", copy_through, case_dir, out_case)
-        sampled_this_case = False
+        copier.submit(case, copy_through, case_dir, out_case)
         try:
             t0 = time.time()
             missing, avail, src_img = futures.pop(case_dir).result()
             if missing is None:
-                ok += 1
                 continue
             synth = get_synth(missing)
             cond = common.prepare_condition(avail, missing)
@@ -203,23 +204,19 @@ def main(argv=None) -> None:
             writer.submit(
                 case, write_case, case, out_case, missing, sample_np, src_img
             )
-            attempted += 1
-            sampled_this_case = True
             print(
                 f"[complete] {case}: {missing} sampled in "
                 f"{time.time()-t0:.1f}s (write pipelined)"
             )
         except Exception as e:  # keep going (`complete_dataset.py:383-403`)
             print(f"[complete] FAILED {case}: {e}")
-            failed += 1
-            assert not sampled_this_case  # failures happen before submit
+            failed_cases.add(case)
 
-    write_failed = writer.drain()
-    copy_failed = copier.drain()
-    ok += max(0, attempted - write_failed)
-    failed += write_failed + copy_failed
+    failed_cases.update(writer.drain_failed())
+    failed_cases.update(copier.drain_failed())
     pool.shutdown(wait=False)
-    print(f"[complete] done: {ok} ok, {failed} failed")
+    ok = len(case_dirs) - len(failed_cases)
+    print(f"[complete] done: {ok} ok, {len(failed_cases)} failed")
 
 
 if __name__ == "__main__":

@@ -184,7 +184,11 @@ def create_model(
         dtype=dtype,
     )
     if use_freq:
-        return WavUNetModel(use_freq=True, **common)
+        # ref_compat=True: flag-compatible construction must reproduce the
+        # reference decoder's aliased double-run (`wunet.py:647-673`), or
+        # imported reference `.pt` weights would silently run with different
+        # forward semantics than they were trained under
+        return WavUNetModel(use_freq=True, ref_compat=True, **common)
     return UNetModel(
         num_classes=(NUM_CLASSES if class_cond else None),
         conv_resample=True,

@@ -390,10 +390,30 @@ def flax_to_torch(params: dict, model) -> dict[str, np.ndarray]:
     return out
 
 
+def _check_ref_compat(model, direction: str) -> None:
+    """Reference wunet checkpoints were trained WITH the decoder's aliased
+    double-run (`wunet.py:647-673`); bridging them onto a
+    ``ref_compat=False`` model loads cleanly but silently changes forward
+    semantics. Warn loudly (tests exercise both settings deliberately)."""
+    if isinstance(model, WavUNetModel) and not model.ref_compat:
+        import warnings
+
+        warnings.warn(
+            f"{direction} a WavUNetModel with ref_compat=False: the "
+            "reference decoder re-runs the previous ResBlock/Attention "
+            "(`wunet.py:647-673`); reference-trained weights will produce "
+            "different outputs on this model. Construct with "
+            "ref_compat=True (factory default for use_freq=True) for "
+            "reference-faithful forwards.",
+            stacklevel=3,
+        )
+
+
 def load_torch_unet(path: str, model: UNetModel) -> dict:
     """Load a reference ``.pt`` checkpoint into Flax params (needs torch)."""
     import torch
 
+    _check_ref_compat(model, "importing .pt weights into")
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = {k: v.numpy() for k, v in sd.items()}
     return torch_to_flax(sd, model)
@@ -402,6 +422,8 @@ def load_torch_unet(path: str, model: UNetModel) -> dict:
 def save_torch_unet(path: str, params: dict, model: UNetModel) -> None:
     """Export Flax params as a reference-compatible torch ``.pt``."""
     import torch
+
+    _check_ref_compat(model, "exporting .pt weights from")
 
     sd = {k: torch.from_numpy(np.ascontiguousarray(v))
           for k, v in flax_to_torch(params, model).items()}

@@ -208,7 +208,9 @@ def parse_resume_step_from_filename(filename: str) -> int:
     unknown names return 0 (the authoritative step also rides INSIDE the
     checkpoint payload and overrides this on load)."""
     stem = os.path.basename(filename).rsplit(".", 1)[0]
-    m = re.search(r"_(\d{6})_", stem)  # brats_{contr}_{step:06d}_{sched}_{T}
+    # {step:06d} widens past 6 digits at step 1e6 — match 6-or-more so a long
+    # run's checkpoints still resume (contr tokens contain no 6-digit runs)
+    m = re.search(r"_(\d{6,})_", stem)  # brats_{contr}_{step:06d}_{sched}_{T}
     if m:
         return int(m.group(1))
     m = re.fullmatch(r"opt(\d{6,})", stem)  # legacy opt{step:06d}
@@ -232,10 +234,13 @@ def save_if_best(
 ) -> bool:
     """Keep ONE best checkpoint per modality (`train_util.py:315-362`),
     deleting the previous best. Returns True if saved."""
+    # drain any in-flight best-save FIRST: its ledger entry commits inside the
+    # async job, so reading the ledger before the join could compare against a
+    # stale best and let a worse loss overwrite a better checkpoint
+    _async_writer.wait()
     best = load_best_losses(ckpt_dir)
     if contr in best and loss >= best[contr]:
         return False
-    _async_writer.wait()
     name = best_checkpoint_name(contr, sample_schedule, diffusion_steps, dataset)
     new_main = os.path.abspath(os.path.join(ckpt_dir, name))
     old_files = [
