@@ -347,6 +347,117 @@ def gen_ddim_trace(out_path: str):
     print(f"wrote {out_path}: {len(steps)} ddim steps")
 
 
+def gen_prod_unet(out_path: str):
+    """Production-channel-config parity fixture (`run.sh:61-66`: 81.5M-param
+    UNetModel — in 32, model 64, mult (1,2,2,4,4), 2 res blocks, no
+    attention, resblock_updown) at reduced spatial size (image 32³ → latent
+    16³), with weights REGENERATED deterministically from the torch key
+    names (`fast_cwdm_tpu.utils.testing.seeded_state_dict`) so the fixture
+    stores only inputs/outputs, not a ~326 MB state_dict.
+
+    Pins three things at the config that matters:
+    * the bridge layout walk over all 5 levels (`training/bridge.py`);
+    * the full-model forward numerics;
+    * the i2i `training_losses` + clip-denoised `p_mean_variance` paths
+      (`gaussian_diffusion.py:1084-1166`, `:269-420`).
+    """
+    import torch
+
+    import guided_diffusion.gaussian_diffusion as gdm
+    from guided_diffusion.script_util import create_gaussian_diffusion
+    from guided_diffusion.unet import UNetModel
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from fast_cwdm_tpu.utils.testing import seeded_state_dict
+
+    torch.manual_seed(57)
+    model = UNetModel(
+        image_size=16,
+        in_channels=32,
+        model_channels=64,
+        out_channels=8,
+        num_res_blocks=2,
+        attention_resolutions=(),
+        channel_mult=(1, 2, 2, 4, 4),
+        dims=3,
+        num_groups=32,
+        resblock_updown=True,
+        bottleneck_attention=False,
+        resample_2d=False,
+    )
+    sd = seeded_state_dict(
+        {k: tuple(v.shape) for k, v in model.state_dict().items()}
+    )
+    model.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()})
+    n_params = sum(v.numel() for v in model.parameters())
+    model.to("cpu")
+    model.eval()
+
+    blob = {"__n_params__": np.array(n_params)}
+
+    # 1) plain forward
+    x = torch.randn(1, 32, 16, 16, 16)
+    t = torch.tensor([3])
+    with torch.no_grad():
+        y = model(x, t)
+    blob["__x__"] = x.numpy()
+    blob["__t__"] = t.numpy()
+    blob["__y__"] = y.numpy()
+
+    # 2) i2i training_losses (production diffusion flags)
+    T = 10
+    diff = create_gaussian_diffusion(
+        steps=T,
+        learn_sigma=False,
+        noise_schedule="linear",
+        predict_xstart=True,
+        rescale_timesteps=False,
+        timestep_respacing="",
+        mode="i2i",
+        sample_schedule="sampled",
+    )
+    mods = ["t1n", "t1c", "t2w", "t2f"]
+    batch = {m: torch.rand(1, 1, 32, 32, 32) for m in mods}
+    tl_t = torch.tensor([7])
+    noise = torch.randn(1, 1, 32, 32, 32)
+    orig = gdm.th.randn_like
+    gdm.th.randn_like = lambda _x: noise
+    try:
+        with torch.no_grad():
+            terms, model_output, _ = diff.training_losses(
+                model, batch, tl_t, model_kwargs={}, mode="i2i", contr="t1c"
+            )
+    finally:
+        gdm.th.randn_like = orig
+    for m in mods:
+        blob[f"__batch_{m}__"] = batch[m].numpy()
+    blob["__tl_t__"] = tl_t.numpy()
+    blob["__noise__"] = noise.numpy()
+    blob["__mse_wav__"] = terms["mse_wav"].numpy()
+    blob["__model_output__"] = model_output.numpy()
+
+    # 3) one clip-denoised p_mean_variance step (idwt→clamp→dwt round trip)
+    pmv_x = torch.randn(1, 8, 16, 16, 16)
+    cond = torch.randn(1, 24, 16, 16, 16)
+    pmv_t = torch.tensor([5])
+    with torch.no_grad():
+        out = diff.p_mean_variance(
+            model, pmv_x, pmv_t, clip_denoised=True, cond=cond
+        )
+    blob["__pmv_x__"] = pmv_x.numpy()
+    blob["__cond__"] = cond.numpy()
+    blob["__pmv_t__"] = pmv_t.numpy()
+    blob["__pmv_mean__"] = out["mean"].numpy()
+    blob["__pmv_log_variance__"] = out["log_variance"].numpy()
+    blob["__pmv_pred_xstart__"] = out["pred_xstart"].numpy()
+
+    np.savez_compressed(out_path, **blob)
+    print(
+        f"wrote {out_path}: {n_params} params, "
+        f"mse_wav {terms['mse_wav'].numpy()}"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -354,7 +465,9 @@ def main():
         default=os.path.join(os.path.dirname(__file__), "..", "tests", "golden"),
     )
     ap.add_argument(
-        "--which", nargs="*", default=["wunet", "encoder", "diffusion", "training", "ddim"]
+        "--which",
+        nargs="*",
+        default=["wunet", "encoder", "diffusion", "training", "ddim", "prod"],
     )
     args = ap.parse_args()
 
@@ -378,6 +491,10 @@ def main():
     if "ddim" in args.which:
         gen_ddim_trace(
             os.path.join(args.golden_dir, "ddim_trace_torch.npz")
+        )
+    if "prod" in args.which:
+        gen_prod_unet(
+            os.path.join(args.golden_dir, "prod_unet_torch.npz")
         )
 
 
