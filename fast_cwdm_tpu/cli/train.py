@@ -122,9 +122,13 @@ def main(argv=None) -> None:
                     buf = []
     else:
         def data():
+            # threaded NIfTI decode (the reference's DataLoader runs
+            # num_workers=12 processes, `train.py:66-69`); batch sequence
+            # is identical to the serial path for any worker count
             return iterate_batches(
                 dataset, args.batch_size, shuffle=True,
                 seed=args.seed + next(epoch_counter),
+                num_workers=args.num_workers,
             )
 
     sampler = create_named_schedule_sampler(

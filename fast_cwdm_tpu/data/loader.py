@@ -94,18 +94,23 @@ def prefetch_to_device(
     *,
     size: int = 2,
     sharding=None,
+    put=None,
 ) -> Iterator:
     """Double-buffered H2D: keep ``size`` batches already on device while
-    the current one computes."""
+    the current one computes. ``put`` overrides the transfer (e.g. a
+    mesh-sharded `shard_batch`); otherwise `jax.device_put` (optionally
+    with ``sharding``) is used."""
 
-    def put(batch):
-        if sharding is not None:
+    if put is None:
+
+        def put(batch):
+            if sharding is not None:
+                return jax.tree.map(
+                    lambda x: jax.device_put(np.asarray(x), sharding), batch
+                )
             return jax.tree.map(
-                lambda x: jax.device_put(np.asarray(x), sharding), batch
+                lambda x: jax.device_put(np.asarray(x)), batch
             )
-        return jax.tree.map(
-            lambda x: jax.device_put(np.asarray(x)), batch
-        )
 
     buf: list = []
     it = iter(iterator)

@@ -79,6 +79,7 @@ class TrainLoop:
         mesh=None,
         checkpoint_dir: str | None = None,
         config: dict | None = None,
+        prefetch: int = 2,
     ):
         self.model = model
         self.diffusion = diffusion
@@ -96,6 +97,7 @@ class TrainLoop:
         self.checkpoint_dir = checkpoint_dir or ckpt.get_blob_logdir()
         self.config = config or {}
         self.mesh = mesh
+        self.prefetch = prefetch
 
         ema_rates = tuple(
             float(x)
@@ -211,14 +213,25 @@ class TrainLoop:
 
     def run_loop(self) -> TrainState:
         data_iter = _infinite(self.data_factory)
+        if self.prefetch > 0:
+            # keep `prefetch` batches already on device (sharded) while the
+            # current step computes — the H2D copy of 4×(224,224,160)
+            # volumes overlaps compute instead of stalling the step
+            from fast_cwdm_tpu.data.loader import prefetch_to_device
+
+            data_iter = prefetch_to_device(
+                data_iter, size=self.prefetch, put=self._put
+            )
+            put = lambda b: b  # noqa: E731 — already on device
+        else:
+            put = self._put
         t_data = t_step = t_log = t_save = 0.0
         last_metrics = None
         step = self.resume_step
 
         while not self.lr_anneal_steps or step < self.lr_anneal_steps:
             t0 = time.time()
-            batch = next(data_iter)
-            batch = self._put(batch)
+            batch = put(next(data_iter))
             if self.state is None:
                 self.state = self._init_state(batch)
                 self._apply_resume()

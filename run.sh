@@ -57,7 +57,7 @@ COMMON="--dims=3 --num_groups=32 --num_channels=64 --num_res_blocks=2
 # fit/compile on a single v5e chip (see PERF.md)
 TRAIN="--data_dir=$DATA_DIR --lr=1e-5 --batch_size=1 --log_interval=100
   --save_interval=50 --lr_anneal_steps=5000 --use_checkpoint=True
-  --checkpoint_dir=$CHECKPOINT_DIR"
+  --num_workers=12 --checkpoint_dir=$CHECKPOINT_DIR"
 SAMPLE="--data_dir=$VAL_DIR --output_dir=$OUTPUT_DIR --seed=$SEED"
 
 train_one() {

@@ -152,6 +152,37 @@ class TestLoader:
         for i, b in enumerate(out):
             np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
 
+    def test_prefetch_custom_put(self):
+        batches = [{"x": np.full((2,), i, np.float32)} for i in range(4)]
+        put = lambda b: {k: v + 100 for k, v in b.items()}  # noqa: E731
+        out = list(prefetch_to_device(iter(batches), size=2, put=put))
+        for i, b in enumerate(out):
+            np.testing.assert_array_equal(b["x"], batches[i]["x"] + 100)
+
+    def test_threaded_iterate_batches_matches_serial(self, tmp_path):
+        """The training input path (`cli/train.py`): num_workers>0 must
+        yield BIT-identical batch sequences to the serial path across
+        epoch reshuffles (the per-epoch seed bump)."""
+        root = str(tmp_path / "data")
+        for i in range(5):
+            _make_case(
+                os.path.join(root, f"0000{i}"), ["t1n", "t1c", "t2w", "t2f"]
+            )
+        ds = BRATSVolumes(root)
+        for epoch_seed in (7, 8):  # two epochs, different shuffles
+            serial = list(
+                iterate_batches(ds, 2, shuffle=True, seed=epoch_seed)
+            )
+            threaded = list(
+                iterate_batches(
+                    ds, 2, shuffle=True, seed=epoch_seed, num_workers=3
+                )
+            )
+            assert len(serial) == len(threaded) == 2
+            for bs, bt in zip(serial, threaded):
+                for k in bs:
+                    np.testing.assert_array_equal(bs[k], bt[k])
+
 
 class TestSaveDeterminism:
     def test_gzip_output_reproducible_and_loadable(self, tmp_path):
