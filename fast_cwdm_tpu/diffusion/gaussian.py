@@ -108,6 +108,10 @@ class GaussianDiffusion:
     mode: str = struct.field(pytree_node=False, default="default")
     wavelet: str = struct.field(pytree_node=False, default="haar")
     target_channels: int = struct.field(pytree_node=False, default=8)
+    # False forces the full-spatial IDWT→clamp→DWT per step even for Haar —
+    # the reference's execution shape (`gaussian_diffusion.py:335-354`);
+    # used by bench.py's faithful baseline leg
+    fuse_clip_projection: bool = struct.field(pytree_node=False, default=True)
 
     # ------------------------------------------------------------------
     # Construction
@@ -259,7 +263,11 @@ class GaussianDiffusion:
             x = denoised_fn(x)
         if not clip_denoised:
             return x
-        if self.wavelet in ("haar", "db1") and x.shape[-1] == 8:
+        if (
+            self.fuse_clip_projection
+            and self.wavelet in ("haar", "db1")
+            and x.shape[-1] == 8
+        ):
             return wv.haar_clamp_project(x)
         img = wv.idwt_normalized(x, channels=1, wavelet=self.wavelet)
         img = jnp.clip(img, 0.0, 1.0)
@@ -541,6 +549,79 @@ class GaussianDiffusion:
             time=t_total,
         )
 
+    def sample_known(
+        self,
+        model_fn,
+        img: jax.Array,
+        key: jax.Array,
+        *,
+        cond=None,
+        clip_denoised=True,
+        noise_level: int = 500,
+        time: int | None = None,
+    ):
+        """Thin wrapper over :meth:`p_sample_loop_known`
+        (`gaussian_diffusion.py:475-478`). Documented deviation: the
+        reference version cannot execute — it references an undefined
+        ``model`` and nonexistent ``self.image_size``/``self.channels``
+        attributes; here the shape is derived from ``img`` and the model
+        is a parameter, which is the evident intent."""
+        return self.p_sample_loop_known(
+            model_fn,
+            tuple(img.shape),
+            key,
+            img=img,
+            cond=cond,
+            clip_denoised=clip_denoised,
+            noise_level=noise_level,
+            time=time,
+        )
+
+    def p_sample_loop_interpolation(
+        self,
+        model_fn,
+        shape,
+        key,
+        *,
+        img1: jax.Array,
+        img2: jax.Array,
+        lambdaint: float,
+        cond=None,
+        clip_denoised=True,
+        noise_level: int = 300,
+        time: int | None = None,
+    ):
+        """Latent interpolation (`gaussian_diffusion.py:626-666`): q_sample
+        both endpoints to ``noise_level`` with SHARED noise, mix
+        ``lambdaint·x1 + (1−lambdaint)·x2``, then denoise the mixture.
+        Returns ``(sample, interpol, img1, img2)`` like the reference.
+
+        Documented deviations: the reference hard-codes t=299
+        (``th.randint(299, 300, ...)``) and then denoises only steps
+        298..0 — one step short of its own noising level; here
+        ``noise_level`` is a parameter and the chain runs
+        ``noise_level-1..0``, consistent with :meth:`p_sample_loop_known`.
+        """
+        t_total = min(
+            noise_level, self.num_timesteps if time is None else time
+        )
+        key_noise, key_loop = jax.random.split(key)
+        noise = jax.random.normal(key_noise, tuple(shape), dtype=jnp.float32)
+        t0 = jnp.full((shape[0],), t_total - 1, dtype=jnp.int32)
+        x_noisy1 = self.q_sample(img1, t0, noise)
+        x_noisy2 = self.q_sample(img2, t0, noise)
+        interpol = lambdaint * x_noisy1 + (1.0 - lambdaint) * x_noisy2
+        sample = self.p_sample_loop(
+            model_fn,
+            shape,
+            key_loop,
+            cond=cond,
+            noise=interpol,
+            clip_denoised=clip_denoised,
+            time=t_total,
+        )
+        return sample, interpol, img1, img2
+
     def p_sample_loop_progressive(
         self,
         model_fn,
@@ -677,6 +758,84 @@ class GaussianDiffusion:
 
         final, _ = jax.lax.scan(step, img, (ts, keys))
         return final
+
+    def ddim_sample_loop_known(
+        self,
+        model_fn,
+        shape,
+        key,
+        *,
+        img: jax.Array,
+        clip_denoised=True,
+        eta: float = 0.0,
+        noise_level: int = 1000,
+        time: int | None = None,
+    ):
+        """DDIM chain conditioned on a known image
+        (`gaussian_diffusion.py:914-968`): fresh noise at the target shape,
+        ``img`` threaded as channel-concat conditioning (the reference's
+        ``segmentation_img`` is concatenated onto x before each model call,
+        `:1025-1027`; here that concat is p_mean_variance's i2i path, so
+        this requires ``mode='i2i'`` when ``img`` should condition).
+        Returns ``(sample, x_noisy, img)`` with ``x_noisy=None``, matching
+        the reference's return shape (its ``x_noisy`` is always None; its
+        ``t``/``indices`` locals are dead bit-rot)."""
+        t_total = min(
+            noise_level, self.num_timesteps if time is None else time
+        )
+        sample = self.ddim_sample_loop(
+            model_fn,
+            shape,
+            key,
+            cond=img if self.mode == "i2i" else None,
+            clip_denoised=clip_denoised,
+            eta=eta,
+            time=t_total,
+        )
+        return sample, None, img
+
+    def ddim_sample_loop_interpolation(
+        self,
+        model_fn,
+        shape,
+        key,
+        *,
+        img1: jax.Array,
+        img2: jax.Array,
+        lambdaint: float,
+        cond=None,
+        clip_denoised=True,
+        eta: float = 0.0,
+        noise_level: int = 200,
+        time: int | None = None,
+    ):
+        """DDIM latent interpolation (`gaussian_diffusion.py:827-866`):
+        q_sample both endpoints with SHARED noise, mix, denoise with DDIM.
+        Returns ``(sample, interpol, img1, img2)``.
+
+        Documented deviations: the reference hard-codes t=199 and denoises
+        198..0 (same off-by-one as its ancestral twin); parameterized and
+        made consistent here."""
+        t_total = min(
+            noise_level, self.num_timesteps if time is None else time
+        )
+        key_noise, key_loop = jax.random.split(key)
+        noise = jax.random.normal(key_noise, tuple(shape), dtype=jnp.float32)
+        t0 = jnp.full((shape[0],), t_total - 1, dtype=jnp.int32)
+        x_noisy1 = self.q_sample(img1, t0, noise)
+        x_noisy2 = self.q_sample(img2, t0, noise)
+        interpol = lambdaint * x_noisy1 + (1.0 - lambdaint) * x_noisy2
+        sample = self.ddim_sample_loop(
+            model_fn,
+            shape,
+            key_loop,
+            cond=cond,
+            noise=interpol,
+            clip_denoised=clip_denoised,
+            eta=eta,
+            time=t_total,
+        )
+        return sample, interpol, img1, img2
 
     def ddim_sample_loop_progressive(
         self,

@@ -204,6 +204,76 @@ def test_ddim_oracle():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)
 
 
+def test_sample_known_oracle():
+    """`sample_known` (`gaussian_diffusion.py:475-478` — unexecutable
+    bit-rot there): shape derived from img, delegates to the partial-noising
+    known loop."""
+    d, img, x0 = _oracle_setup()
+    model_fn = lambda x, t: jnp.broadcast_to(x0, x.shape[:-1] + (8,))  # noqa: E731
+    out = d.sample_known(
+        model_fn, x0, jax.random.PRNGKey(1), noise_level=5
+    )
+    assert out.shape == x0.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)
+
+
+def test_p_sample_loop_interpolation_oracle():
+    """(`gaussian_diffusion.py:626-666`) shared-noise q_sample of both
+    endpoints, lambdaint mixture, denoise."""
+    d, img, x0 = _oracle_setup()
+    model_fn = lambda x, t: jnp.broadcast_to(x0, x.shape[:-1] + (8,))  # noqa: E731
+    x_b = x0 + 0.1
+    key = jax.random.PRNGKey(2)
+    sample, interpol, r1, r2 = d.p_sample_loop_interpolation(
+        model_fn, x0.shape, key,
+        img1=x0, img2=x_b, lambdaint=0.3, noise_level=5,
+    )
+    assert sample.shape == interpol.shape == x0.shape
+    assert r1 is x0 and r2 is x_b
+    np.testing.assert_allclose(np.asarray(sample), np.asarray(x0), atol=1e-4)
+    # identical endpoints ⇒ the mixture is lambdaint-independent (the two
+    # q_samples share one noise draw)
+    _, ia, _, _ = d.p_sample_loop_interpolation(
+        model_fn, x0.shape, key, img1=x0, img2=x0, lambdaint=0.2,
+        noise_level=5,
+    )
+    _, ib, _, _ = d.p_sample_loop_interpolation(
+        model_fn, x0.shape, key, img1=x0, img2=x0, lambdaint=0.9,
+        noise_level=5,
+    )
+    np.testing.assert_allclose(np.asarray(ia), np.asarray(ib), atol=1e-6)
+
+
+def test_ddim_sample_loop_known_oracle():
+    """(`gaussian_diffusion.py:914-968`) fresh noise at the target shape,
+    img as channel-concat conditioning (i2i), DDIM chain; returns the
+    reference's (sample, None, img) tuple shape."""
+    d, img, x0 = _oracle_setup(mode="i2i")
+    img_cond = jnp.full(x0.shape[:-1] + (24,), 0.5, dtype=jnp.float32)
+
+    def model_fn(x_in, t):
+        assert x_in.shape[-1] == 32  # 8 noisy target + 24 cond concat
+        return jnp.broadcast_to(x0, x_in.shape[:-1] + (8,))
+
+    sample, x_noisy, ret = d.ddim_sample_loop_known(
+        model_fn, x0.shape, jax.random.PRNGKey(3), img=img_cond
+    )
+    assert x_noisy is None and ret is img_cond
+    np.testing.assert_allclose(np.asarray(sample), np.asarray(x0), atol=1e-4)
+
+
+def test_ddim_sample_loop_interpolation_oracle():
+    """(`gaussian_diffusion.py:827-866`)"""
+    d, img, x0 = _oracle_setup()
+    model_fn = lambda x, t: jnp.broadcast_to(x0, x.shape[:-1] + (8,))  # noqa: E731
+    sample, interpol, _, _ = d.ddim_sample_loop_interpolation(
+        model_fn, x0.shape, jax.random.PRNGKey(4),
+        img1=x0, img2=x0 + 0.1, lambdaint=0.5, noise_level=5,
+    )
+    assert sample.shape == interpol.shape == x0.shape
+    np.testing.assert_allclose(np.asarray(sample), np.asarray(x0), atol=1e-4)
+
+
 def test_space_timesteps_and_spaced_diffusion():
     assert space_timesteps(1000, [1000]) == set(range(1000))
     s = space_timesteps(1000, "ddim10")
@@ -404,3 +474,17 @@ class TestConfigurationGuards:
             "linear", 4, "sampled", target_channels=4
         )
         assert d.target_channels == 4
+
+
+def test_unfused_clip_projection_matches_fused():
+    """`fuse_clip_projection=False` (bench.py's faithful-baseline execution
+    shape: full-spatial IDWT→clamp→DWT, `gaussian_diffusion.py:335-354`)
+    is numerically identical to the fused block-local Haar projection."""
+    import jax
+
+    diff = GaussianDiffusion.named("linear", 10, "sampled", mode="i2i")
+    slow = diff.replace(fuse_clip_projection=False)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 8, 8))
+    a = diff._process_xstart(x, clip_denoised=True)
+    b = slow._process_xstart(x, clip_denoised=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
