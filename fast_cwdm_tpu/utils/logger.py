@@ -157,6 +157,13 @@ class WandbOutput:
             {k: float(v) for k, v in kvs.items() if hasattr(v, "__float__")}
         )
 
+    def writeimages(self, images, step):
+        """Image-panel parity with the reference, which logs x₀/subband/
+        source mid-planes as `wandb.Image` (`train_util.py:226-284`)."""
+        self.wandb.log(
+            {k: self.wandb.Image(v) for k, v in images.items()}, step=step
+        )
+
     def writeseq(self, seq):
         pass
 
@@ -271,13 +278,16 @@ def log(*args, **kwargs):
 
 
 def log_images(images: dict, step: int) -> None:
-    """Write 2D arrays as images to any TensorBoard sink (the reference
-    logs x0/subband mid-planes, `train_util.py:226-284`)."""
+    """Write 2D arrays as images to every image-capable sink — TensorBoard
+    and wandb, matching the reference's dual routing of x0/subband
+    mid-planes (`train_util.py:226-284,429-445`)."""
     for o in _get().outputs:
         if isinstance(o, TensorBoardOutput):
             for k, v in images.items():
                 o.writer.add_image(k, v[None], step)
             o.writer.flush()
+        elif hasattr(o, "writeimages"):
+            o.writeimages(images, step)
 
 
 @contextlib.contextmanager

@@ -59,3 +59,42 @@ def test_env_configure(tmp_path, monkeypatch):
     assert lg.logdir.endswith("envdir")
     L.log("hello", "world")  # no stdout sink — must not raise
     lg.close()
+
+
+def test_wandb_sink_scalars_and_images(tmp_path, monkeypatch):
+    """Wandb sink parity (`train_util.py:226-284`): scalars via wandb.log,
+    image panels via wandb.Image — exercised against a stub module (wandb
+    is not installed in this image)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    calls = []
+
+    stub = types.ModuleType("wandb")
+    stub.run = object()  # pretend already initialized
+
+    def _log(payload, step=None):
+        calls.append((payload, step))
+
+    class _Image:
+        def __init__(self, arr):
+            self.arr = np.asarray(arr)
+
+    stub.log = _log
+    stub.Image = _Image
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    out = L.make_output("wandb", str(tmp_path))
+    out.writekvs({"loss": 0.5, "step": 3, "name": "x"})
+    assert calls[-1][0] == {"loss": 0.5, "step": 3.0}
+
+    lg = L.Logger(str(tmp_path), [out])
+    monkeypatch.setattr(L.Logger, "CURRENT", lg)
+    img = np.random.default_rng(0).random((8, 8)).astype(np.float32)
+    L.log_images({"sample/x_0": img}, step=7)
+    payload, step = calls[-1]
+    assert step == 7
+    assert isinstance(payload["sample/x_0"], _Image)
+    np.testing.assert_array_equal(payload["sample/x_0"].arr, img)
