@@ -37,16 +37,31 @@ def setup_distributed() -> None:
     that initializes the XLA backend (e.g. `jax.process_count()` /
     `jax.devices()`), so the env-var check comes first and initialize() is
     simply idempotent-guarded.
+
+    Manual (non-SLURM/OMPI/TPU-pod) launches set ``JAX_COORDINATOR_ADDRESS``
+    + ``JAX_NUM_PROCESSES`` + ``JAX_PROCESS_ID`` explicitly — this JAX only
+    auto-detects managed cluster environments, so the values are forwarded
+    to ``initialize()`` here; on managed environments leave all three unset
+    and auto-detection applies.
     """
     import os
 
-    if (
-        "JAX_COORDINATOR_ADDRESS" not in os.environ
-        and "COORDINATOR_ADDRESS" not in os.environ
-    ):
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if coord is None:
         return  # single-host launch
+    kwargs: dict = {}
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        kwargs = dict(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         # already initialized (or backends already up in-process): surface
         # only genuinely new failures
@@ -95,15 +110,22 @@ def make_hybrid_mesh(sp: int = 1) -> Mesh:
     ride ICI only. This is the multi-host BraTS-sweep capability the
     reference's world_size-1 dist scaffolding never reached
     (`dist_util.py:42-44`)."""
-    n_slices = jax.process_count()
-    per_slice = jax.local_device_count()
-    if n_slices <= 1:
+    n_groups = jax.process_count()
+    per_group = jax.local_device_count()
+    if n_groups <= 1:
         return make_mesh(sp=sp)
-    if per_slice % sp:
-        raise ValueError(f"{per_slice} local devices not divisible by sp={sp}")
+    if per_group % sp:
+        raise ValueError(f"{per_group} local devices not divisible by sp={sp}")
+    # group by slice_index only when it actually distinguishes the groups;
+    # on a single-slice multi-host pod (and on the CPU test fabric) every
+    # device reports the same slice_index and the granule must be the
+    # PROCESS, or create_hybrid_device_mesh sees one slice and rejects the
+    # dcn shape
+    slice_ids = {getattr(d, "slice_index", 0) for d in jax.devices()}
     dev_array = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(per_slice // sp, sp),
-        dcn_mesh_shape=(n_slices, 1),
+        mesh_shape=(per_group // sp, sp),
+        dcn_mesh_shape=(n_groups, 1),
+        process_is_granule=len(slice_ids) != n_groups,
     )
     return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS))
 
