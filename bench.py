@@ -9,14 +9,27 @@ Two execution modes on the SAME chip:
 * ``fused``  — the framework's `p_sample_loop`: the entire 100-step reverse
   chain (UNet + per-step IDWT→clamp→DWT x0 projection) is ONE `lax.scan`
   XLA program.
-* ``refstyle`` (the baseline) — the reference's execution shape: a Python
-  loop dispatching one jitted `p_sample` per step with a host sync each
-  iteration (`gaussian_diffusion.py:668-719` iterates in Python under
-  torch eager).
+* ``faithful`` (the headline baseline) — the reference's per-STEP execution
+  shape: fp32 model, full-spatial IDWT→clamp→DWT x0 projection every step
+  (no fused block-local form — `gaussian_diffusion.py:335-354` round-trips
+  the whole 224³ volume), one jitted `p_sample` dispatch per step with a
+  host sync each iteration (`gaussian_diffusion.py:668-719` iterates in
+  Python under torch eager). Host-side overheads the reference also pays
+  (rebuilding DWT banded matrices per call, `DWT_IDWT_layer.py:520-529`)
+  are NOT simulated — the leg reproduces the device math + dispatch shape,
+  so the recorded speedup still UNDERSTATES the true gap to the reference.
+* ``refstyle`` — per-step dispatch of the FRAMEWORK's step (bf16, fused
+  projection): isolates the win from whole-chain compilation alone.
+
+NOTE: both per-step legs include 100 host-sync round trips through the
+axon tunnel (3-40 ms each, variable across sessions) — their absolute
+seconds drift run-to-run by several seconds; that is the leg's point (the
+reference pays per-step sync) and explains the r01 21.0 s vs 17.2 s
+refstyle discrepancy (PERF.md).
 
 Prints ONE JSON line:
   {"metric": "volumes_per_hour_100step_t1c", "value": ..., "unit":
-   "vol/h/chip", "vs_baseline": fused_over_refstyle_speedup, ...}
+   "vol/h/chip", "vs_baseline": fused_over_faithful_speedup, ...}
 """
 
 from __future__ import annotations
@@ -78,8 +91,17 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help="split the reverse chain into chunks of N steps "
                          "(separate device programs; for very long schedules)")
-    ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--baseline", default="both",
+                    choices=["faithful", "refstyle", "both", "none"],
+                    help="faithful: fp32 + full-spatial per-step clip "
+                         "projection + per-step dispatch (the reference's "
+                         "execution shape); refstyle: per-step dispatch of "
+                         "the framework's bf16 fused step")
+    ap.add_argument("--skip-baseline", action="store_true",
+                    help="alias for --baseline=none")
     args = ap.parse_args()
+    if args.skip_baseline:
+        args.baseline = "none"
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model, diffusion = build(args.steps, dtype, fused=args.fused)
@@ -144,32 +166,42 @@ def main():
     fused_s = min(times)
     vol_per_hour = 3600.0 / fused_s * b
 
-    # ---------------- refstyle baseline: per-step dispatch ---------------
-    vs_baseline = None
-    refstyle_s = None
-    if not args.skip_baseline:
+    # ------------- per-step baseline legs (one dispatch + sync / step) ---
+    def run_per_step(model_, diffusion_):
         @jax.jit
         def one_step(params, x, t, k, cond):
             def model_fn(xx, tt):
-                return model.apply({"params": params}, xx, tt)
+                return model_.apply({"params": params}, xx, tt)
 
-            return diffusion.p_sample(model_fn, x, t, k, cond=cond)["sample"]
+            return diffusion_.p_sample(model_fn, x, t, k, cond=cond)["sample"]
 
-        def sample_refstyle(noise, cond, key):
+        def sample(noise, cond, key):
             x = noise
-            for i in range(diffusion.num_timesteps - 1, -1, -1):
+            for i in range(diffusion_.num_timesteps - 1, -1, -1):
                 key, sub = jax.random.split(key)
                 t = jnp.full((b,), i, jnp.int32)
                 x = one_step(params, x, t, sub, cond)
                 np.asarray(x[0, 0, 0, 0, 0])  # per-step host sync (ref-style)
             return x
 
-        x = sample_refstyle(noise, cond, k_loop)  # compile
+        x = sample(noise, cond, k_loop)  # compile
         t0 = time.perf_counter()
-        x = sample_refstyle(noise, cond, jax.random.fold_in(k_loop, 99))
+        x = sample(noise, cond, jax.random.fold_in(k_loop, 99))
         np.asarray(x)
-        refstyle_s = time.perf_counter() - t0
-        vs_baseline = refstyle_s / fused_s
+        return time.perf_counter() - t0
+
+    refstyle_s = faithful_s = None
+    if args.baseline in ("refstyle", "both"):
+        refstyle_s = run_per_step(model, diffusion)
+    if args.baseline in ("faithful", "both"):
+        # the reference's device math: fp32 end to end, full-spatial
+        # IDWT→clamp→DWT x0 projection (`gaussian_diffusion.py:335-354`)
+        model_f32, _ = build(args.steps, jnp.float32, fused=False)
+        faithful_s = run_per_step(
+            model_f32, diffusion.replace(fuse_clip_projection=False)
+        )
+    base_s = faithful_s if faithful_s is not None else refstyle_s
+    vs_baseline = base_s / fused_s if base_s is not None else None
 
     result = {
         "metric": "volumes_per_hour_100step_t1c",
@@ -185,8 +217,17 @@ def main():
             "refstyle_s_per_volume": (
                 round(refstyle_s / b, 3) if refstyle_s else None
             ),
+            "faithful_s_per_volume": (
+                round(faithful_s / b, 3) if faithful_s else None
+            ),
             "device": str(jax.devices()[0]),
-            "baseline_mode": "reference-style per-step dispatch, same chip",
+            "baseline_mode": (
+                "faithful: reference execution shape (fp32, full-spatial "
+                "per-step clip projection, per-step dispatch + host sync), "
+                "same chip"
+                if faithful_s is not None
+                else "reference-style per-step dispatch, same chip"
+            ),
         },
     }
     print(json.dumps(result))
