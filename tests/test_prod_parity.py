@@ -159,3 +159,54 @@ def test_p_mean_variance_parity(prod):
         _nchw_to_last(data["__pmv_pred_xstart__"]),
         atol=5e-5,
     )
+
+
+def test_published_weights_readiness_chain(prod, tmp_path):
+    """Quality-parity readiness (PARITY.md): the moment real published
+    weights appear, the recipe is `convert_checkpoint` → `complete_dataset`.
+    This smoke drives that chain at the production config with a
+    SYNTHESIZED reference-shaped `.pt`: import → BEST-name discovery →
+    config-from-sidecar model build → parameter load, asserting the loaded
+    tree is bit-identical to the imported weights. (Device sampling on real
+    volumes is covered by tests/test_cli.py::test_full_pipeline at a tiny
+    config.)"""
+    import jax
+    import torch
+
+    from fast_cwdm_tpu.cli import common, convert_checkpoint
+    from fast_cwdm_tpu.training.checkpoints import find_best_checkpoint
+
+    data, model, params = prod
+    sd = flax_to_torch(jax.tree.map(np.asarray, params), model)
+    src_pt = str(tmp_path / "brats_t1c_BEST_sampled_10.pt")
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, src_pt)
+
+    ckpt_dir = tmp_path / "checkpoints"
+    ckpt_dir.mkdir()
+    dst = str(ckpt_dir / "brats_t1c_BEST_sampled_10.ckpt")
+    convert_checkpoint.main([f"--src={src_pt}", f"--dst={dst}",
+                             "--contr=t1c", "--image_size=16"])
+
+    found = find_best_checkpoint(str(ckpt_dir), "t1c")
+    assert found is not None
+    path, schedule, steps = found
+    assert (path, schedule, steps) == (dst, "sampled", 10)
+
+    # rebuild exactly as cli/complete_dataset.py::get_synth does
+    from fast_cwdm_tpu.models import model_and_diffusion_defaults
+    from fast_cwdm_tpu.training.checkpoints import load_checkpoint_config
+
+    stored = load_checkpoint_config(path) or {}
+    cfg = common.production_config(sample_schedule=schedule,
+                                   diffusion_steps=steps)
+    schema = set(model_and_diffusion_defaults())
+    cfg.update({k: v for k, v in stored.items() if k in schema})
+    cfg["mode"] = "i2i"
+    cfg["image_size"] = 16  # reduced spatial for the CPU template init
+    model2, diffusion = common.build_model_and_diffusion(cfg)
+    assert diffusion.num_timesteps == 10
+    loaded = common.load_params(path, model2)
+    flat_a = {k: v for k, v in flax_to_torch(
+        jax.tree.map(np.asarray, loaded), model2).items()}
+    for k in sd:
+        np.testing.assert_array_equal(flat_a[k], sd[k])
