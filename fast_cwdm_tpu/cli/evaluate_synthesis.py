@@ -192,14 +192,30 @@ def calculate_dice_scores(pred_dir: str, gt_dir: str) -> dict:
 
 
 def main(argv=None) -> None:
-    p = argparse.ArgumentParser()
+    p = argparse.ArgumentParser(
+        description=(
+            "Synthesis evaluation. --mode=direct scores sample/target "
+            "pairs (SSIM/PSNR/MSE) with no external dependencies. "
+            "--mode=nnunet reproduces the reference's downstream "
+            "segmentation Dice (`evaluate_synthesis.py:121-225`) and needs "
+            "(a) nnUNetv2_predict on PATH and (b) the pretrained BraTS "
+            "Dataset137 weights PRE-STAGED under "
+            "<work_dir>/nnUNet_results/Dataset137_BraTS2021/ — the "
+            "reference auto-fetches them with gdown "
+            "(`evaluate_synthesis.py:83-119`); this build has no network "
+            "egress, so copy them in beforehand."
+        )
+    )
     p.add_argument("--mode", choices=["direct", "nnunet"], default="direct")
     p.add_argument("--sample_dir", default="",
                    help="direct mode: dir of {case}/sample+target pairs")
     p.add_argument("--completed_dir", default="",
                    help="nnunet mode: nnUNet imagesTr input")
     p.add_argument("--gt_dir", default="")
-    p.add_argument("--work_dir", default="./nnunet_work")
+    p.add_argument("--work_dir", default="./nnunet_work",
+                   help="nnunet mode: root holding nnUNet_raw/preprocessed/"
+                        "results; pre-stage Dataset137 weights under "
+                        "nnUNet_results (no auto-download here)")
     p.add_argument("--report", default="evaluation_report.json")
     args = p.parse_args(argv)
 
@@ -208,7 +224,17 @@ def main(argv=None) -> None:
             p.error("--sample_dir is required for --mode=direct")
         report = evaluate_cases(args.sample_dir)
     else:
-        setup_nnunet_environment(args.work_dir)
+        env = setup_nnunet_environment(args.work_dir)
+        weights = os.path.join(
+            env["nnUNet_results"], "Dataset137_BraTS2021"
+        )
+        if not os.path.isdir(weights):
+            print(
+                f"[eval] NOTE: no pretrained weights at {weights} — "
+                "pre-stage the nnUNet Dataset137 folder there (the "
+                "reference downloads it via gdown; this build has no "
+                "egress). nnUNetv2_predict will fail without it."
+            )
         pred_dir = os.path.join(args.work_dir, "predictions")
         os.makedirs(pred_dir, exist_ok=True)
         if run_nnunet_prediction(args.completed_dir, pred_dir):
