@@ -427,11 +427,26 @@ class UNetModel(nn.Module):
     additive_skips: bool = False
     fuse_conv: bool = False
     dtype: jnp.dtype | None = None
+    # selective rematerialization (only meaningful with use_checkpoint):
+    # remat_max_ds=K remats ONLY blocks at downsample factor ds <= K — the
+    # high-resolution levels where activations dominate HBM — and saves the
+    # cheap deep-level activations (0 = remat every block, the reference's
+    # whole-CheckpointFunction behavior, `nn.py:124-170`). remat_policy
+    # names a `jax.checkpoint_policies` entry for what remat may keep.
+    remat_max_ds: int = 0
+    remat_policy: str | None = None
 
-    def _resblock(self, **kw) -> ResBlock:
+    def _resblock(self, ds: int | None = None, **kw) -> ResBlock:
         cls = ResBlock
-        if self.use_checkpoint:
-            cls = nn.remat(ResBlock, static_argnums=(3,))
+        if self.use_checkpoint and (
+            not self.remat_max_ds or ds is None or ds <= self.remat_max_ds
+        ):
+            policy = (
+                getattr(jax.checkpoint_policies, self.remat_policy)
+                if self.remat_policy
+                else None
+            )
+            cls = nn.remat(ResBlock, static_argnums=(3,), policy=policy)
         kw.setdefault("dropout", self.dropout)
         kw.setdefault("dims", self.dims)
         kw.setdefault("use_scale_shift_norm", self.use_scale_shift_norm)
@@ -488,6 +503,7 @@ class UNetModel(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
                 h = self._resblock(
+                    ds=ds,
                     channels=ch,
                     emb_channels=ted,
                     out_channels=mult * self.model_channels,
@@ -502,6 +518,7 @@ class UNetModel(nn.Module):
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
                     h = self._resblock(
+                        ds=ds,
                         channels=ch,
                         emb_channels=ted,
                         out_channels=ch,
@@ -525,12 +542,12 @@ class UNetModel(nn.Module):
 
         # ------------------------- bottleneck -------------------------
         h = self._resblock(
-            channels=ch, emb_channels=ted, name="mid_res0"
+            ds=ds, channels=ch, emb_channels=ted, name="mid_res0"
         )(h, emb, train)
         if self.bottleneck_attention:
             h = self._attention(ch, self.num_heads, "mid_attn")(h)
         h = self._resblock(
-            channels=ch, emb_channels=ted, name="mid_res1"
+            ds=ds, channels=ch, emb_channels=ted, name="mid_res1"
         )(h, emb, train)
 
         # ------------------------- decoder -------------------------
@@ -549,6 +566,7 @@ class UNetModel(nn.Module):
                     h = jnp.concatenate([h, new_hs], axis=-1)
                     in_ch = ch + ich
                 h = self._resblock(
+                    ds=ds,
                     channels=in_ch,
                     emb_channels=ted,
                     out_channels=mid_ch,
@@ -560,6 +578,7 @@ class UNetModel(nn.Module):
                 if level and i == self.num_res_blocks:
                     if self.resblock_updown:
                         h = self._resblock(
+                            ds=ds,
                             channels=ch,
                             emb_channels=ted,
                             out_channels=ch,

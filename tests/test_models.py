@@ -123,6 +123,34 @@ class TestUNet:
         )(params)
         assert n_params(g) == n_params(params)
 
+    def test_selective_remat_same_numerics(self):
+        """remat_max_ds / remat_policy change WHAT the backward recomputes,
+        never the math: identical param trees, forwards, and gradients
+        across every remat configuration."""
+        x = jnp.asarray(
+            np.random.default_rng(5).standard_normal((1, 8, 8, 8, 32)),
+            jnp.float32,
+        )
+        t = jnp.asarray([3])
+        variants = [
+            {},
+            {"use_checkpoint": True},
+            {"use_checkpoint": True, "remat_max_ds": 1},
+            {"use_checkpoint": True, "remat_policy": "dots_saveable"},
+        ]
+        outs, grads = [], []
+        for kw in variants:
+            m = UNetModel(**{**TINY, "attention_resolutions": (), **kw})
+            params = m.init(jax.random.PRNGKey(0), x, t)
+            outs.append(np.asarray(m.apply(params, x, t)))
+            g = jax.grad(lambda p: (m.apply(p, x, t) ** 2).sum())(params)
+            grads.append(jax.tree.map(np.asarray, g))
+        for o in outs[1:]:
+            np.testing.assert_allclose(o, outs[0], atol=1e-5)
+        for g in grads[1:]:
+            for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(grads[0])):
+                np.testing.assert_allclose(a, b, atol=1e-4)
+
     def test_class_conditional(self):
         m = UNetModel(**{**TINY, "num_classes": 2})
         x = jnp.zeros((1, 8, 8, 8, 32))
