@@ -112,11 +112,22 @@ def main(argv=None) -> None:
     if args.dataset == "lidc-idri":
         # unconditional: batches are plain arrays
         def data():
+            from fast_cwdm_tpu.data.brats import _PermutedView
+            from fast_cwdm_tpu.data.loader import ThreadedLoader
+
             rng = np.random.default_rng(args.seed + next(epoch_counter))
             order = rng.permutation(len(dataset))
+            items = (
+                iter(ThreadedLoader(
+                    _PermutedView(dataset, order),
+                    num_workers=args.num_workers,
+                ))
+                if args.num_workers > 0
+                else (dataset[int(i)] for i in order)
+            )
             buf = []
-            for i in order:
-                buf.append(dataset[int(i)])
+            for item in items:
+                buf.append(item)
                 if len(buf) == args.batch_size:
                     yield np.stack(buf)
                     buf = []
