@@ -358,9 +358,12 @@ class GaussianDiffusion:
         cond=None,
         clip_denoised=True,
         denoised_fn=None,
+        cond_fn=None,
         model_kwargs=None,
     ):
-        """Ancestral step x_t → x_{t-1} (`gaussian_diffusion.py:529-574`)."""
+        """Ancestral step x_t → x_{t-1} (`gaussian_diffusion.py:529-574`);
+        ``cond_fn`` applies classifier guidance to the posterior mean
+        (`:569-572`)."""
         out = self.p_mean_variance(
             model_fn,
             x,
@@ -370,6 +373,10 @@ class GaussianDiffusion:
             denoised_fn=denoised_fn,
             model_kwargs=model_kwargs,
         )
+        if cond_fn is not None:
+            out["mean"] = self.condition_mean(
+                cond_fn, out, x, t, model_kwargs=model_kwargs
+            )
         noise = jax.random.normal(key, x.shape, dtype=x.dtype)
         nonzero = (t != 0).astype(x.dtype).reshape(
             (-1,) + (1,) * (x.ndim - 1)
@@ -389,6 +396,7 @@ class GaussianDiffusion:
         noise=None,
         clip_denoised=True,
         denoised_fn=None,
+        cond_fn=None,
         model_kwargs=None,
         time: int | None = None,
         chunk_size: int | None = None,
@@ -432,6 +440,7 @@ class GaussianDiffusion:
                     cond=cond_c,
                     clip_denoised=clip_denoised,
                     denoised_fn=denoised_fn,
+                    cond_fn=cond_fn,
                     model_kwargs=model_kwargs,
                 )
             )
@@ -450,6 +459,7 @@ class GaussianDiffusion:
             cond=cond,
             clip_denoised=clip_denoised,
             denoised_fn=denoised_fn,
+            cond_fn=cond_fn,
             model_kwargs=model_kwargs,
         )
 
@@ -463,6 +473,7 @@ class GaussianDiffusion:
         cond=None,
         clip_denoised=True,
         denoised_fn=None,
+        cond_fn=None,
         model_kwargs=None,
     ) -> jax.Array:
         """Scan an arbitrary timestep segment (building block for
@@ -480,6 +491,7 @@ class GaussianDiffusion:
                 cond=cond,
                 clip_denoised=clip_denoised,
                 denoised_fn=denoised_fn,
+                cond_fn=cond_fn,
                 model_kwargs=model_kwargs,
             )
             return out["sample"], None
@@ -631,6 +643,7 @@ class GaussianDiffusion:
         cond=None,
         noise=None,
         clip_denoised=True,
+        cond_fn=None,
         time: int | None = None,
     ):
         """Python generator yielding each step (API parity with
@@ -644,7 +657,8 @@ class GaussianDiffusion:
         )
         step = jax.jit(
             lambda x, t, k: self.p_sample(
-                model_fn, x, t, k, cond=cond, clip_denoised=clip_denoised
+                model_fn, x, t, k, cond=cond, clip_denoised=clip_denoised,
+                cond_fn=cond_fn,
             )
         )
         for i in range(t_total - 1, -1, -1):
@@ -669,8 +683,13 @@ class GaussianDiffusion:
         cond=None,
         clip_denoised=True,
         eta: float = 0.0,
+        cond_fn=None,
         model_kwargs=None,
     ):
+        """DDIM step; ``cond_fn`` applies score-based guidance (the
+        reference's `condition_score2` hook at `gaussian_diffusion.py:
+        741-742`, which is use-before-def bit-rot there — fixed here by
+        conditioning AFTER p_mean_variance)."""
         out = self.p_mean_variance(
             model_fn,
             x,
@@ -679,6 +698,10 @@ class GaussianDiffusion:
             clip_denoised=clip_denoised,
             model_kwargs=model_kwargs,
         )
+        if cond_fn is not None:
+            out = self.condition_score(
+                cond_fn, out, x, t, model_kwargs=model_kwargs
+            )
         x_ref = x[..., : self.target_channels] if self.mode == "i2i" else x
         eps = self.predict_eps_from_xstart(x_ref, t, out["pred_xstart"])
         abar = _extract(self.alphas_cumprod, t, x_ref.ndim)
@@ -730,6 +753,7 @@ class GaussianDiffusion:
         noise=None,
         clip_denoised=True,
         eta: float = 0.0,
+        cond_fn=None,
         time: int | None = None,
     ) -> jax.Array:
         t_total = self.num_timesteps if time is None else time
@@ -753,6 +777,7 @@ class GaussianDiffusion:
                 cond=cond,
                 clip_denoised=clip_denoised,
                 eta=eta,
+                cond_fn=cond_fn,
             )
             return out["sample"], None
 
@@ -847,6 +872,7 @@ class GaussianDiffusion:
         noise=None,
         clip_denoised=True,
         eta: float = 0.0,
+        cond_fn=None,
         time: int | None = None,
     ):
         """Per-step DDIM generator (`gaussian_diffusion.py:941-1007`);
@@ -861,7 +887,7 @@ class GaussianDiffusion:
         step = jax.jit(
             lambda x, t, k: self.ddim_sample(
                 model_fn, x, t, k, cond=cond,
-                clip_denoised=clip_denoised, eta=eta,
+                clip_denoised=clip_denoised, eta=eta, cond_fn=cond_fn,
             )
         )
         for i in range(t_total - 1, -1, -1):

@@ -488,3 +488,40 @@ def test_unfused_clip_projection_matches_fused():
     a = diff._process_xstart(x, clip_denoised=True)
     b = slow._process_xstart(x, clip_denoised=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_cond_fn_threads_through_loops():
+    """Classifier guidance plumbing: cond_fn shifts the chain inside both
+    the scanned ancestral loop (`gaussian_diffusion.py:569-572`) and the
+    DDIM loop (`:741-742` — use-before-def there, fixed here), and a zero
+    gradient is a no-op."""
+    d, img, x0 = _oracle_setup()
+    model_fn = lambda x, t: jnp.broadcast_to(x0, x.shape[:-1] + (8,))  # noqa: E731
+    key = jax.random.PRNGKey(6)
+
+    zero_fn = lambda x, t: jnp.zeros_like(x)  # noqa: E731
+    push_fn = lambda x, t: 5.0 * jnp.ones_like(x)  # noqa: E731
+
+    base = d.p_sample_loop(model_fn, x0.shape, key)
+    same = d.p_sample_loop(model_fn, x0.shape, key, cond_fn=zero_fn)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(same), atol=1e-6)
+    pushed = d.p_sample_loop(model_fn, x0.shape, key, cond_fn=push_fn)
+    # with an oracle x0 model, earlier shifts wash out (posterior coef2 at
+    # t=0 is 0) and the final sample moves by exactly variance(t=0)·g
+    expected_shift = float(d.fixed_large_variance[0]) * 5.0
+    np.testing.assert_allclose(
+        np.asarray(pushed - base),
+        expected_shift,
+        rtol=1e-3,
+    )
+
+    dbase = d.ddim_sample_loop(model_fn, x0.shape, key, eta=0.5)
+    dsame = d.ddim_sample_loop(model_fn, x0.shape, key, eta=0.5,
+                               cond_fn=zero_fn)
+    np.testing.assert_allclose(np.asarray(dbase), np.asarray(dsame), atol=1e-6)
+    dpushed = d.ddim_sample_loop(model_fn, x0.shape, key, eta=0.5,
+                                 cond_fn=push_fn)
+    # score guidance at the last DDIM step shifts by O(sqrt(1-abar_0)) — a
+    # few 1e-4 at this schedule; assert it moved, and by a sane magnitude
+    shift = float(jnp.abs(dpushed - dbase).max())
+    assert 1e-5 < shift < 1e-2, shift
