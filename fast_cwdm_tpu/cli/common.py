@@ -77,6 +77,20 @@ def load_params(path: str, model, *, use_ema: bool = False):
                 "no EMA shadows; using the raw parameters"
             )
         return bridge.load_torch_unet(path, model)
+    if path.endswith(".orbax") or os.path.isdir(path):
+        from fast_cwdm_tpu.training import orbax_io
+
+        ckpt.wait_for_pending_saves()
+        loaded = orbax_io.restore_any(path)  # structure from metadata
+        ema = tuple(loaded.get("ema_params") or ())
+        if use_ema:
+            if ema:
+                return ema[0]
+            print(
+                f"[load_params] WARNING: {path} has no EMA shadows; "
+                "using the raw parameters"
+            )
+        return loaded["params"]
     # read the blob once so IO problems (missing file, permissions,
     # truncation at the OS level) surface as themselves, not as a bogus
     # "incompatible layout" error from the template probe below

@@ -106,15 +106,31 @@ def wait_for_pending_saves():
     _async_writer.wait()
 
 
+def checkpoint_ext() -> str:
+    """Active checkpoint format: ``.ckpt`` (single-file msgpack, default)
+    or ``.orbax`` (sharded Orbax directory; select with
+    ``FAST_CWDM_CKPT_BACKEND=orbax`` — the multi-host-scale backend)."""
+    return (
+        ".orbax"
+        if os.environ.get("FAST_CWDM_CKPT_BACKEND") == "orbax"
+        else ".ckpt"
+    )
+
+
 def _write_blob(
     path: str, host_payload: dict[str, Any], config: dict[str, Any] | None
 ) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    blob = serialization.to_bytes(host_payload)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)
+    if path.endswith(".orbax"):
+        from fast_cwdm_tpu.training import orbax_io
+
+        orbax_io.save(path, host_payload)
+    else:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        blob = serialization.to_bytes(host_payload)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
     if config is not None:
         with open(path + ".json", "w") as f:
             json.dump(config, f, indent=2, default=str)
@@ -143,6 +159,10 @@ def save_checkpoint(
 
 def load_checkpoint(path: str, template: dict[str, Any]) -> dict[str, Any]:
     _async_writer.wait()  # the file may still be in flight
+    if path.endswith(".orbax") or os.path.isdir(path):
+        from fast_cwdm_tpu.training import orbax_io
+
+        return orbax_io.load(path, template)
     with open(path, "rb") as f:
         blob = f.read()
     return serialization.from_bytes(template, blob)
@@ -162,10 +182,15 @@ def load_checkpoint_config(path: str) -> dict[str, Any] | None:
 
 
 def best_checkpoint_name(
-    contr: str, sample_schedule: str, diffusion_steps: int, dataset: str = "brats"
+    contr: str,
+    sample_schedule: str,
+    diffusion_steps: int,
+    dataset: str = "brats",
+    ext: str | None = None,
 ) -> str:
     """(`train_util.py:339-341`)"""
-    return f"{dataset}_{contr}_BEST_{sample_schedule}_{diffusion_steps}.ckpt"
+    ext = checkpoint_ext() if ext is None else ext
+    return f"{dataset}_{contr}_BEST_{sample_schedule}_{diffusion_steps}{ext}"
 
 
 def step_checkpoint_name(
@@ -174,16 +199,23 @@ def step_checkpoint_name(
     sample_schedule: str,
     diffusion_steps: int,
     dataset: str = "brats",
+    ext: str | None = None,
 ) -> str:
     """Legacy step-stamped name (`train_util.py:476-514`)."""
-    return f"{dataset}_{contr}_{step:06d}_{sample_schedule}_{diffusion_steps}.ckpt"
+    ext = checkpoint_ext() if ext is None else ext
+    return (
+        f"{dataset}_{contr}_{step:06d}_{sample_schedule}_{diffusion_steps}{ext}"
+    )
 
 
 def find_best_checkpoint(ckpt_dir: str, contr: str, dataset: str = "brats"):
     """Discovery parity with `complete_dataset.py:75-104`: newest
-    ``{dataset}_{contr}_BEST_*``; returns (path, sample_schedule, steps)."""
-    pattern = os.path.join(ckpt_dir, f"{dataset}_{contr}_BEST_*.ckpt")
-    matches = sorted(glob(pattern), key=os.path.getmtime)
+    ``{dataset}_{contr}_BEST_*`` (either backend format); returns
+    (path, sample_schedule, steps)."""
+    stem = os.path.join(ckpt_dir, f"{dataset}_{contr}_BEST_*")
+    matches = sorted(
+        glob(stem + ".ckpt") + glob(stem + ".orbax"), key=os.path.getmtime
+    )
     if not matches:
         return None
     path = matches[-1]
@@ -191,7 +223,8 @@ def find_best_checkpoint(ckpt_dir: str, contr: str, dataset: str = "brats"):
     if cfg and "sample_schedule" in cfg:
         return path, cfg["sample_schedule"], int(cfg["diffusion_steps"])
     m = re.match(
-        rf".*{re.escape(dataset)}_{re.escape(contr)}_BEST_(\w+?)_(\d+)\.ckpt$",
+        rf".*{re.escape(dataset)}_{re.escape(contr)}"
+        r"_BEST_(\w+?)_(\d+)\.(?:ckpt|orbax)$",
         path,
     )
     if m:
@@ -243,11 +276,10 @@ def save_if_best(
         return False
     name = best_checkpoint_name(contr, sample_schedule, diffusion_steps, dataset)
     new_main = os.path.abspath(os.path.join(ckpt_dir, name))
+    stem = os.path.join(ckpt_dir, f"{dataset}_{contr}_BEST_*")
     old_files = [
         old
-        for old in glob(
-            os.path.join(ckpt_dir, f"{dataset}_{contr}_BEST_*.ckpt")
-        )
+        for old in glob(stem + ".ckpt") + glob(stem + ".orbax")
         if os.path.abspath(old) != new_main
     ]
     # device→host copies happen on the caller's thread (the arrays may be
@@ -261,14 +293,20 @@ def save_if_best(
     def job():
         if host_opt is not None:
             _write_blob(
-                os.path.join(ckpt_dir, f"opt_best_{contr}.ckpt"),
+                os.path.join(
+                    ckpt_dir, f"opt_best_{contr}{checkpoint_ext()}"
+                ),
                 host_opt,
                 None,
             )
         _write_blob(new_main, host_payload, config)
+        import shutil
+
         for old in old_files:
             for p in (old, old + ".json"):
-                if os.path.exists(p):
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                elif os.path.exists(p):
                     os.remove(p)
         cur = load_best_losses(ckpt_dir)
         cur[contr] = float(loss)

@@ -193,14 +193,16 @@ class TrainLoop:
         # is a fallback for reference-style names without a payload step)
         if int(loaded.get("step", 0) or 0) > 0:
             self.resume_step = int(loaded["step"])
-        opt_path = os.path.join(
-            os.path.dirname(path), f"opt_best_{self.contr}.ckpt"
-        )
-        if os.path.exists(opt_path):
-            opt = ckpt.load_checkpoint(
-                opt_path, {"opt_state": self.state.opt_state}
+        for ext in (".ckpt", ".orbax"):
+            opt_path = os.path.join(
+                os.path.dirname(path), f"opt_best_{self.contr}{ext}"
             )
-            self.state = self.state.replace(opt_state=opt["opt_state"])
+            if os.path.exists(opt_path):
+                opt = ckpt.load_checkpoint(
+                    opt_path, {"opt_state": self.state.opt_state}
+                )
+                self.state = self.state.replace(opt_state=opt["opt_state"])
+                break
         logger.log(f"resumed from {path} at step {loaded['step']}")
         self._pending_resume = None
 

@@ -37,3 +37,22 @@ def load(path: str, template: dict[str, Any]) -> dict[str, Any]:
 
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(os.path.abspath(path), template)
+
+
+def restore_any(path: str) -> dict[str, Any]:
+    """Templateless restore (structure read from the checkpoint metadata).
+
+    Used by the CLI loaders to discover how many EMA shadows a checkpoint
+    carries without probing templates; tuples come back as lists."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
+def is_orbax_checkpoint(path: str) -> bool:
+    """True when ``path`` is an Orbax checkpoint directory."""
+    return os.path.isdir(path) and (
+        os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+        or os.path.exists(os.path.join(path, "_METADATA"))
+    )

@@ -227,6 +227,74 @@ class TestOrbaxBackend:
         for a, b in zip(jax.tree.leaves(out), jax.tree.leaves({"params": params})):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_best_save_lifecycle_orbax_backend(
+        self, tmp_path, setup, monkeypatch
+    ):
+        """FAST_CWDM_CKPT_BACKEND=orbax routes the whole best-checkpoint
+        regime — naming, ledger, discovery, replacement-deletion, resume
+        load, CLI load — through Orbax directories."""
+        import os
+
+        from fast_cwdm_tpu.training import checkpoints as ckpt, orbax_io
+
+        if not orbax_io.available():
+            pytest.skip("orbax not installed")
+        monkeypatch.setenv("FAST_CWDM_CKPT_BACKEND", "orbax")
+        _, _, _, params = setup
+        d = str(tmp_path)
+        payload = {"params": params, "ema_params": (params,), "step": 5}
+        assert ckpt.save_if_best(
+            d, "t1c", 0.5, payload, {"opt": np.arange(3.0)},
+            sample_schedule="sampled", diffusion_steps=10,
+            config={"sample_schedule": "sampled", "diffusion_steps": 10},
+        )
+        # worse loss refused against the ledger
+        assert not ckpt.save_if_best(
+            d, "t1c", 0.7, payload, None,
+            sample_schedule="sampled", diffusion_steps=10,
+        )
+        path, schedule, steps = ckpt.find_best_checkpoint(d, "t1c")
+        assert path.endswith(".orbax") and (schedule, steps) == ("sampled", 10)
+        loaded = ckpt.load_checkpoint(
+            path, {"params": params, "ema_params": (params,), "step": 0}
+        )
+        assert int(loaded["step"]) == 5
+        for a, b in zip(
+            jax.tree.leaves(loaded["params"]), jax.tree.leaves(params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # templateless restore (the CLI path) sees the EMA shadow
+        raw = orbax_io.restore_any(path)
+        assert len(raw["ema_params"]) == 1
+        # a better loss under a different schedule replaces the best and
+        # deletes the previous directory (name parse covers no-sidecar)
+        assert ckpt.save_if_best(
+            d, "t1c", 0.3, payload, None,
+            sample_schedule="direct", diffusion_steps=1000,
+        )
+        path2, schedule2, steps2 = ckpt.find_best_checkpoint(d, "t1c")
+        assert (schedule2, steps2) == ("direct", 1000)
+        assert not os.path.exists(path)
+
+    def test_sharded_params_roundtrip(self, tmp_path, setup):
+        """Orbax saves/restores mesh-sharded arrays (the multi-host story
+        the msgpack backend cannot cover)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fast_cwdm_tpu.parallel import make_mesh
+        from fast_cwdm_tpu.training import orbax_io
+
+        if not orbax_io.available():
+            pytest.skip("orbax not installed")
+        mesh = make_mesh(data=4, sp=2)
+        x = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
+        sharded = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+        p = str(tmp_path / "sharded.orbax")
+        orbax_io.save(p, {"params": {"w": sharded}, "step": 1})
+        out = orbax_io.load(p, {"params": {"w": sharded}, "step": 0})
+        np.testing.assert_array_equal(np.asarray(out["params"]["w"]), x)
+        assert int(out["step"]) == 1
+
 
 class TestImagePanels:
     def test_panel_keys_match_reference(self, tmp_path, setup, monkeypatch):
