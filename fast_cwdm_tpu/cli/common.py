@@ -77,9 +77,9 @@ def load_params(path: str, model, *, use_ema: bool = False):
                 "no EMA shadows; using the raw parameters"
             )
         return bridge.load_torch_unet(path, model)
-    if path.endswith(".orbax") or os.path.isdir(path):
-        from fast_cwdm_tpu.training import orbax_io
+    from fast_cwdm_tpu.training import orbax_io
 
+    if path.endswith(".orbax") or orbax_io.is_orbax_checkpoint(path):
         ckpt.wait_for_pending_saves()
         loaded = orbax_io.restore_any(path)  # structure from metadata
         ema = tuple(loaded.get("ema_params") or ())

@@ -112,21 +112,12 @@ def main(argv=None) -> None:
     if args.dataset == "lidc-idri":
         # unconditional: batches are plain arrays
         def data():
-            from fast_cwdm_tpu.data.brats import _PermutedView
-            from fast_cwdm_tpu.data.loader import ThreadedLoader
+            from fast_cwdm_tpu.data.loader import iter_items
 
             rng = np.random.default_rng(args.seed + next(epoch_counter))
             order = rng.permutation(len(dataset))
-            items = (
-                iter(ThreadedLoader(
-                    _PermutedView(dataset, order),
-                    num_workers=args.num_workers,
-                ))
-                if args.num_workers > 0
-                else (dataset[int(i)] for i in order)
-            )
             buf = []
-            for item in items:
+            for item in iter_items(dataset, order, args.num_workers):
                 buf.append(item)
                 if len(buf) == args.batch_size:
                     yield np.stack(buf)

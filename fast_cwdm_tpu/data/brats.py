@@ -173,25 +173,6 @@ class LIDCVolumes:
         return vol[..., None]
 
 
-class _PermutedView:
-    """Index-remapped dataset view: item ``i`` is ``dataset[order[i]]``.
-
-    Lets `ThreadedLoader` (which preserves dataset index order through its
-    reorder buffer) emit items in an arbitrary shuffle order, so the
-    threaded path yields bit-identical batch sequences to the serial one.
-    """
-
-    def __init__(self, dataset, order):
-        self.dataset = dataset
-        self.order = order
-
-    def __len__(self):
-        return len(self.order)
-
-    def __getitem__(self, i):
-        return self.dataset[int(self.order[i])]
-
-
 def iterate_batches(
     dataset,
     batch_size: int,
@@ -208,19 +189,12 @@ def iterate_batches(
     DataLoader runs 12 worker processes, `train.py:66-69`) — the yielded
     batch sequence is identical to the serial path for any worker count.
     """
+    from fast_cwdm_tpu.data.loader import iter_items
+
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
-    if num_workers > 0:
-        from fast_cwdm_tpu.data.loader import ThreadedLoader
-
-        items = iter(
-            ThreadedLoader(
-                _PermutedView(dataset, order), num_workers=num_workers
-            )
-        )
-    else:
-        items = (dataset[int(i)] for i in order)
+    items = iter_items(dataset, order, num_workers)
     batch: list[dict] = []
     for item in items:
         batch.append(item)

@@ -89,6 +89,40 @@ class ThreadedLoader:
                 permits.release()
 
 
+class _PermutedView:
+    """Index-remapped dataset view: item ``i`` is ``dataset[order[i]]``.
+
+    Lets `ThreadedLoader` (which preserves dataset index order through its
+    reorder buffer) emit items in an arbitrary shuffle order, so the
+    threaded path yields bit-identical sequences to the serial one.
+    """
+
+    def __init__(self, dataset, order):
+        self.dataset = dataset
+        self.order = order
+
+    def __len__(self):
+        return len(self.order)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.order[i])]
+
+
+def iter_items(dataset, order, num_workers: int = 0) -> Iterator:
+    """Yield ``dataset`` items in ``order`` — on a decode thread pool when
+    ``num_workers > 0`` — with an output sequence identical to the serial
+    path for any worker count. The shared core of the BraTS and LIDC
+    training input paths (the reference's DataLoader worker equivalent,
+    `train.py:66-69`)."""
+    if num_workers > 0:
+        return iter(
+            ThreadedLoader(
+                _PermutedView(dataset, order), num_workers=num_workers
+            )
+        )
+    return (dataset[int(i)] for i in order)
+
+
 def prefetch_to_device(
     iterator: Iterable,
     *,

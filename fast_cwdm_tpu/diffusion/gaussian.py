@@ -805,6 +805,15 @@ class GaussianDiffusion:
         Returns ``(sample, x_noisy, img)`` with ``x_noisy=None``, matching
         the reference's return shape (its ``x_noisy`` is always None; its
         ``t``/``indices`` locals are dead bit-rot)."""
+        if self.mode != "i2i":
+            # the reference ALWAYS concatenates segmentation_img onto the
+            # model input (`:1025-1027`); silently dropping it would return
+            # unconditional samples unrelated to img
+            raise ValueError(
+                "ddim_sample_loop_known conditions on img by channel "
+                "concat, which requires mode='i2i' (got "
+                f"mode={self.mode!r})"
+            )
         t_total = min(
             noise_level, self.num_timesteps if time is None else time
         )
@@ -812,7 +821,7 @@ class GaussianDiffusion:
             model_fn,
             shape,
             key,
-            cond=img if self.mode == "i2i" else None,
+            cond=img,
             clip_denoised=clip_denoised,
             eta=eta,
             time=t_total,

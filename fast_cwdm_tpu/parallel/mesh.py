@@ -54,6 +54,15 @@ def setup_distributed() -> None:
     kwargs: dict = {}
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
+    if (nproc is None) != (pid is None):
+        # a partial manual config would fall into auto-detect and die with
+        # an unrelated cluster-detection error (or hang at rendezvous)
+        raise RuntimeError(
+            "manual jax.distributed launch needs ALL of "
+            "JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES and "
+            f"JAX_PROCESS_ID (got num_processes={nproc!r}, "
+            f"process_id={pid!r})"
+        )
     if nproc is not None and pid is not None:
         kwargs = dict(
             coordinator_address=coord,

@@ -159,9 +159,9 @@ def save_checkpoint(
 
 def load_checkpoint(path: str, template: dict[str, Any]) -> dict[str, Any]:
     _async_writer.wait()  # the file may still be in flight
-    if path.endswith(".orbax") or os.path.isdir(path):
-        from fast_cwdm_tpu.training import orbax_io
+    from fast_cwdm_tpu.training import orbax_io
 
+    if path.endswith(".orbax") or orbax_io.is_orbax_checkpoint(path):
         return orbax_io.load(path, template)
     with open(path, "rb") as f:
         blob = f.read()
@@ -291,17 +291,26 @@ def save_if_best(
     host_opt = _to_host(opt_payload) if opt_payload is not None else None
 
     def job():
+        import shutil
+
         if host_opt is not None:
+            ext = checkpoint_ext()
             _write_blob(
-                os.path.join(
-                    ckpt_dir, f"opt_best_{contr}{checkpoint_ext()}"
-                ),
+                os.path.join(ckpt_dir, f"opt_best_{contr}{ext}"),
                 host_opt,
                 None,
             )
+            # drop a sibling-format opt file from before a backend switch
+            # so resume can never pair new params with stale Adam moments
+            other = os.path.join(
+                ckpt_dir,
+                f"opt_best_{contr}{'.ckpt' if ext == '.orbax' else '.orbax'}",
+            )
+            if os.path.isdir(other):
+                shutil.rmtree(other, ignore_errors=True)
+            elif os.path.exists(other):
+                os.remove(other)
         _write_blob(new_main, host_payload, config)
-        import shutil
-
         for old in old_files:
             for p in (old, old + ".json"):
                 if os.path.isdir(p):

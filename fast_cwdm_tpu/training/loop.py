@@ -193,16 +193,25 @@ class TrainLoop:
         # is a fallback for reference-style names without a payload step)
         if int(loaded.get("step", 0) or 0) > 0:
             self.resume_step = int(loaded["step"])
-        for ext in (".ckpt", ".orbax"):
-            opt_path = os.path.join(
-                os.path.dirname(path), f"opt_best_{self.contr}{ext}"
-            )
-            if os.path.exists(opt_path):
-                opt = ckpt.load_checkpoint(
-                    opt_path, {"opt_state": self.state.opt_state}
+        # both backend formats may coexist after a backend switch — load
+        # the NEWEST opt state, not a fixed-extension preference (a stale
+        # .ckpt would silently restore old Adam moments)
+        candidates = [
+            p
+            for p in (
+                os.path.join(
+                    os.path.dirname(path), f"opt_best_{self.contr}{ext}"
                 )
-                self.state = self.state.replace(opt_state=opt["opt_state"])
-                break
+                for ext in (".ckpt", ".orbax")
+            )
+            if os.path.exists(p)
+        ]
+        if candidates:
+            opt_path = max(candidates, key=os.path.getmtime)
+            opt = ckpt.load_checkpoint(
+                opt_path, {"opt_state": self.state.opt_state}
+            )
+            self.state = self.state.replace(opt_state=opt["opt_state"])
         logger.log(f"resumed from {path} at step {loaded['step']}")
         self._pending_resume = None
 

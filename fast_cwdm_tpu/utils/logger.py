@@ -153,8 +153,14 @@ class WandbOutput:
             )
 
     def writekvs(self, kvs):
+        # pass the training step explicitly when the dump carries one:
+        # mixing auto-step scalars with explicit-step image panels would
+        # corrupt wandb's internal step axis (points land at x=1..k then
+        # jump to the image step)
+        step = kvs.get("step")
         self.wandb.log(
-            {k: float(v) for k, v in kvs.items() if hasattr(v, "__float__")}
+            {k: float(v) for k, v in kvs.items() if hasattr(v, "__float__")},
+            step=int(step) if step is not None else None,
         )
 
     def writeimages(self, images, step):

@@ -252,41 +252,52 @@ def test_two_process_distributed_psum(tmp_path):
     import subprocess
     import sys
 
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
     script = tmp_path / "dist_child.py"
     script.write_text(_DIST_CHILD)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    procs = []
-    for rank in range(2):
-        env = dict(os.environ)
-        env.update(
-            PYTHONPATH=repo,
-            JAX_PLATFORMS="cpu",
-            XLA_FLAGS="--xla_force_host_platform_device_count=2",
-            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
-            JAX_NUM_PROCESSES="2",
-            JAX_PROCESS_ID=str(rank),
-        )
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, str(script)],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE,
-                text=True,
+
+    def attempt():
+        # bind-then-close port probing is a TOCTOU race; retry on failure
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = []
+        for rank in range(2):
+            env = dict(os.environ)
+            env.update(
+                PYTHONPATH=repo,
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=2",
+                JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                JAX_NUM_PROCESSES="2",
+                JAX_PROCESS_ID=str(rank),
             )
-        )
-    results = {}
-    for rank, p in enumerate(procs):
-        out, err = p.communicate(timeout=240)
-        assert p.returncode == 0, f"rank {rank} failed:\n{err[-2000:]}"
-        for line in out.splitlines():
-            if line.startswith("RESULT"):
-                _, r, v = line.split()
-                results[int(r)] = float(v)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, str(script)],
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE,
+                    text=True,
+                )
+            )
+        results = {}
+        errs = []
+        for rank, p in enumerate(procs):
+            out, err = p.communicate(timeout=240)
+            if p.returncode != 0:
+                errs.append(f"rank {rank} rc={p.returncode}:\n{err[-2000:]}")
+                continue
+            for line in out.splitlines():
+                if line.startswith("RESULT"):
+                    _, r, v = line.split()
+                    results[int(r)] = float(v)
+        return results, errs
+
+    results, errs = attempt()
+    if errs:  # fresh port, one retry
+        results, errs = attempt()
+    assert not errs, errs[0]
     # ranks agree, and the value is the cross-process sum:
     # rank0 contributes [0, 1], rank1 [10, 11] -> 22
     assert results == {0: 22.0, 1: 22.0}
