@@ -184,11 +184,17 @@ def main():
                 np.asarray(x[0, 0, 0, 0, 0])  # per-step host sync (ref-style)
             return x
 
-        x = sample(noise, cond, k_loop)  # compile
-        t0 = time.perf_counter()
-        x = sample(noise, cond, jax.random.fold_in(k_loop, 99))
-        np.asarray(x)
-        return time.perf_counter() - t0
+        sample(noise, cond, k_loop)  # compile
+        # min-of-repeats like the fused leg: each run carries 100 variable
+        # 3-40 ms tunnel syncs, so a single run swings vs_baseline by tens
+        # of percent across sessions (PERF.md "refstyle drift")
+        leg_times = []
+        for i in range(args.repeats):
+            t0 = time.perf_counter()
+            x = sample(noise, cond, jax.random.fold_in(k_loop, 99 + i))
+            np.asarray(x)
+            leg_times.append(time.perf_counter() - t0)
+        return min(leg_times)
 
     refstyle_s = faithful_s = None
     if args.baseline in ("refstyle", "both"):

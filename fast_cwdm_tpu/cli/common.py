@@ -38,6 +38,10 @@ PRODUCTION_OVERRIDES = dict(
     # output as x_start — the reference's run.sh:134 sets this too
     predict_xstart=True,
     mode="i2i",
+    # production inference runs bf16 compute (fp32 GroupNorm stats and
+    # fp32 params — models/nn.py); every published PERF.md number is
+    # measured at this setting. `--dtype float32` restores full fp32.
+    dtype="bfloat16",
 )
 
 
@@ -79,8 +83,11 @@ def load_params(path: str, model, *, use_ema: bool = False):
         return bridge.load_torch_unet(path, model)
     from fast_cwdm_tpu.training import orbax_io
 
+    # settle in-flight async saves BEFORE sniffing the format: a
+    # half-written orbax directory (no committed metadata yet) would
+    # otherwise be misclassified as a msgpack blob
+    ckpt.wait_for_pending_saves()
     if path.endswith(".orbax") or orbax_io.is_orbax_checkpoint(path):
-        ckpt.wait_for_pending_saves()
         loaded = orbax_io.restore_any(path)  # structure from metadata
         ema = tuple(loaded.get("ema_params") or ())
         if use_ema:
@@ -94,7 +101,6 @@ def load_params(path: str, model, *, use_ema: bool = False):
     # read the blob once so IO problems (missing file, permissions,
     # truncation at the OS level) surface as themselves, not as a bogus
     # "incompatible layout" error from the template probe below
-    ckpt.wait_for_pending_saves()
     with open(path, "rb") as f:
         blob = f.read()
     from flax import serialization
@@ -268,19 +274,22 @@ class AsyncWriter:
     and returns the total number of failed jobs (printing each error).
     """
 
-    def __init__(self, max_workers: int = 2, max_pending: int = 8):
+    def __init__(
+        self, max_workers: int = 2, max_pending: int = 8, label: str = "write"
+    ):
         from concurrent.futures import ThreadPoolExecutor
 
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
         self._pending: list = []
         self._max_pending = max_pending
+        self._label = label
         self._failed_tags: list[str] = []
 
     def _resolve(self, tag, fut) -> None:
         try:
             fut.result()
         except Exception as e:  # noqa: BLE001 — per-case resilience
-            print(f"[write] FAILED {tag}: {e}")
+            print(f"[{self._label}] FAILED {tag}: {e}")
             self._failed_tags.append(tag)
 
     def submit(self, tag: str, fn, *args, **kwargs) -> None:

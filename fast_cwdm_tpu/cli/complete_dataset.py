@@ -47,6 +47,11 @@ def create_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--threshold", type=float, default=0.0)
+    p.add_argument(
+        "--dtype", default="",
+        help="compute dtype override: bfloat16 (production default) or "
+        "float32; a runtime choice, never read from the checkpoint",
+    )
     return p
 
 
@@ -90,9 +95,15 @@ def main(argv=None) -> None:
                 sample_schedule=schedule, diffusion_steps=steps
             )
             schema = set(model_and_diffusion_defaults())
+            # compute dtype is a runtime choice (params are always f32),
+            # not a model property: the stored config never overrides the
+            # production bf16 default, only the --dtype flag does
             cfg.update(
-                {k: v for k, v in stored.items() if k in schema}
+                {k: v for k, v in stored.items()
+                 if k in schema and k != "dtype"}
             )
+            if args.dtype:
+                cfg["dtype"] = args.dtype
             cfg["mode"] = "i2i"
             model, diffusion = common.build_model_and_diffusion(cfg)
             params = common.load_params(path, model, use_ema=args.use_ema)
@@ -150,8 +161,8 @@ def main(argv=None) -> None:
     # costs seconds of host time and must overlap the next case's device
     # sampling just like the input decode does. Copies and sample writes
     # use separate pools so their failures are accounted separately.
-    writer = common.AsyncWriter()
-    copier = common.AsyncWriter()
+    writer = common.AsyncWriter(label="write")
+    copier = common.AsyncWriter(label="copy")
 
     def copy_through(case_dir, out_case):
         """Pass existing files through (`complete_dataset.py:352-367`) —

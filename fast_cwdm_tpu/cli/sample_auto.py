@@ -87,7 +87,11 @@ def main(argv=None) -> None:
         from fast_cwdm_tpu.training.checkpoints import load_checkpoint_config
 
         stored = load_checkpoint_config(path) or {}
-        cfg.update({k: v for k, v in stored.items() if k in cfg})
+        # compute dtype is a runtime choice (params are always f32), so
+        # the stored config never overrides the --dtype flag
+        cfg.update(
+            {k: v for k, v in stored.items() if k in cfg and k != "dtype"}
+        )
         cfg.update(
             mode="i2i", sample_schedule=schedule, diffusion_steps=steps
         )

@@ -76,7 +76,11 @@ def main(argv=None) -> None:
     from fast_cwdm_tpu.data import BRATSVolumes, LIDCVolumes, iterate_batches
     from fast_cwdm_tpu.diffusion.resample import create_named_schedule_sampler
     from fast_cwdm_tpu.models import create_model_and_diffusion
-    from fast_cwdm_tpu.parallel import make_mesh, setup_distributed
+    from fast_cwdm_tpu.parallel import (
+        make_hybrid_mesh,
+        make_mesh,
+        setup_distributed,
+    )
     from fast_cwdm_tpu.training import TrainLoop
     from fast_cwdm_tpu.utils import logger
 
@@ -94,7 +98,15 @@ def main(argv=None) -> None:
     model, diffusion = create_model_and_diffusion(**cfg)
 
     mesh = None
-    if len(jax.devices()) > 1:
+    if jax.process_count() > 1:
+        # multi-host: DCN-aware mesh (data axis spans slices/processes, sp
+        # stays intra-slice so conv/DWT halos ride ICI only)
+        mesh = make_hybrid_mesh(sp=args.spatial_mesh)
+        logger.log(
+            f"hybrid mesh over {jax.process_count()} processes: "
+            f"{dict(mesh.shape)}"
+        )
+    elif len(jax.devices()) > 1:
         mesh = make_mesh(
             data=args.data_mesh or -1, sp=args.spatial_mesh
         )

@@ -117,7 +117,13 @@ def iter_items(dataset, order, num_workers: int = 0) -> Iterator:
     if num_workers > 0:
         return iter(
             ThreadedLoader(
-                _PermutedView(dataset, order), num_workers=num_workers
+                _PermutedView(dataset, order),
+                num_workers=num_workers,
+                # give every requested worker a permit (+2 headroom) so the
+                # default prefetch bound never silently parks workers; each
+                # in-flight BraTS item is ~128 MB host-side, so the bound
+                # stays near the worker count rather than a large multiple
+                max_prefetch=max(8, num_workers + 2),
             )
         )
     return (dataset[int(i)] for i in order)

@@ -538,6 +538,9 @@ class GaussianDiffusion:
         img: jax.Array,
         cond=None,
         clip_denoised=True,
+        denoised_fn=None,
+        cond_fn=None,
+        model_kwargs=None,
         noise_level: int = 500,
         time: int | None = None,
     ):
@@ -558,6 +561,9 @@ class GaussianDiffusion:
             cond=cond,
             noise=x,
             clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+            cond_fn=cond_fn,
+            model_kwargs=model_kwargs,
             time=t_total,
         )
 
@@ -569,6 +575,9 @@ class GaussianDiffusion:
         *,
         cond=None,
         clip_denoised=True,
+        denoised_fn=None,
+        cond_fn=None,
+        model_kwargs=None,
         noise_level: int = 500,
         time: int | None = None,
     ):
@@ -585,6 +594,9 @@ class GaussianDiffusion:
             img=img,
             cond=cond,
             clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+            cond_fn=cond_fn,
+            model_kwargs=model_kwargs,
             noise_level=noise_level,
             time=time,
         )
@@ -600,6 +612,9 @@ class GaussianDiffusion:
         lambdaint: float,
         cond=None,
         clip_denoised=True,
+        denoised_fn=None,
+        cond_fn=None,
+        model_kwargs=None,
         noise_level: int = 300,
         time: int | None = None,
     ):
@@ -630,6 +645,9 @@ class GaussianDiffusion:
             cond=cond,
             noise=interpol,
             clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+            cond_fn=cond_fn,
+            model_kwargs=model_kwargs,
             time=t_total,
         )
         return sample, interpol, img1, img2
@@ -643,7 +661,9 @@ class GaussianDiffusion:
         cond=None,
         noise=None,
         clip_denoised=True,
+        denoised_fn=None,
         cond_fn=None,
+        model_kwargs=None,
         time: int | None = None,
     ):
         """Python generator yielding each step (API parity with
@@ -658,7 +678,8 @@ class GaussianDiffusion:
         step = jax.jit(
             lambda x, t, k: self.p_sample(
                 model_fn, x, t, k, cond=cond, clip_denoised=clip_denoised,
-                cond_fn=cond_fn,
+                denoised_fn=denoised_fn, cond_fn=cond_fn,
+                model_kwargs=model_kwargs,
             )
         )
         for i in range(t_total - 1, -1, -1):
@@ -682,6 +703,7 @@ class GaussianDiffusion:
         *,
         cond=None,
         clip_denoised=True,
+        denoised_fn=None,
         eta: float = 0.0,
         cond_fn=None,
         model_kwargs=None,
@@ -696,6 +718,7 @@ class GaussianDiffusion:
             t,
             cond=cond,
             clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
             model_kwargs=model_kwargs,
         )
         if cond_fn is not None:
@@ -723,7 +746,8 @@ class GaussianDiffusion:
         return {"sample": sample, "pred_xstart": out["pred_xstart"]}
 
     def ddim_reverse_sample(
-        self, model_fn, x, t, *, cond=None, clip_denoised=True, model_kwargs=None
+        self, model_fn, x, t, *, cond=None, clip_denoised=True,
+        denoised_fn=None, model_kwargs=None
     ):
         """Deterministic ODE step x_t → x_{t+1} (`gaussian_diffusion.py:838-866`)."""
         out = self.p_mean_variance(
@@ -732,6 +756,7 @@ class GaussianDiffusion:
             t,
             cond=cond,
             clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
             model_kwargs=model_kwargs,
         )
         x_ref = x[..., : self.target_channels] if self.mode == "i2i" else x
@@ -752,8 +777,10 @@ class GaussianDiffusion:
         cond=None,
         noise=None,
         clip_denoised=True,
+        denoised_fn=None,
         eta: float = 0.0,
         cond_fn=None,
+        model_kwargs=None,
         time: int | None = None,
     ) -> jax.Array:
         t_total = self.num_timesteps if time is None else time
@@ -776,8 +803,10 @@ class GaussianDiffusion:
                 k,
                 cond=cond,
                 clip_denoised=clip_denoised,
+                denoised_fn=denoised_fn,
                 eta=eta,
                 cond_fn=cond_fn,
+                model_kwargs=model_kwargs,
             )
             return out["sample"], None
 
@@ -792,6 +821,9 @@ class GaussianDiffusion:
         *,
         img: jax.Array,
         clip_denoised=True,
+        denoised_fn=None,
+        cond_fn=None,
+        model_kwargs=None,
         eta: float = 0.0,
         noise_level: int = 1000,
         time: int | None = None,
@@ -823,6 +855,9 @@ class GaussianDiffusion:
             key,
             cond=img,
             clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+            cond_fn=cond_fn,
+            model_kwargs=model_kwargs,
             eta=eta,
             time=t_total,
         )
@@ -839,6 +874,9 @@ class GaussianDiffusion:
         lambdaint: float,
         cond=None,
         clip_denoised=True,
+        denoised_fn=None,
+        cond_fn=None,
+        model_kwargs=None,
         eta: float = 0.0,
         noise_level: int = 200,
         time: int | None = None,
@@ -866,6 +904,9 @@ class GaussianDiffusion:
             cond=cond,
             noise=interpol,
             clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+            cond_fn=cond_fn,
+            model_kwargs=model_kwargs,
             eta=eta,
             time=t_total,
         )
@@ -880,8 +921,10 @@ class GaussianDiffusion:
         cond=None,
         noise=None,
         clip_denoised=True,
+        denoised_fn=None,
         eta: float = 0.0,
         cond_fn=None,
+        model_kwargs=None,
         time: int | None = None,
     ):
         """Per-step DDIM generator (`gaussian_diffusion.py:941-1007`);
@@ -896,7 +939,8 @@ class GaussianDiffusion:
         step = jax.jit(
             lambda x, t, k: self.ddim_sample(
                 model_fn, x, t, k, cond=cond,
-                clip_denoised=clip_denoised, eta=eta, cond_fn=cond_fn,
+                clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+                eta=eta, cond_fn=cond_fn, model_kwargs=model_kwargs,
             )
         )
         for i in range(t_total - 1, -1, -1):

@@ -95,6 +95,10 @@ def model_and_diffusion_defaults() -> dict[str, Any]:
         use_freq=False,
         predict_xstart=False,
         sample_schedule="direct",
+        # compute dtype ("", "float32", "bfloat16"): "" follows use_fp16
+        # (False → fp32). TPU-native extension of the reference's
+        # fp16 flags (`script_util.py:83`); see create_model's docstring.
+        dtype="",
     )
     res.update(diffusion_defaults())
     return res
@@ -155,7 +159,34 @@ def create_model(
     use_freq=False,
     dtype=None,
 ):
-    """Flag-compatible model constructor (`script_util.py:190-292`)."""
+    """Flag-compatible model constructor (`script_util.py:190-292`).
+
+    Precision: ``dtype`` sets the compute dtype (params stay float32;
+    GroupNorm statistics stay float32 regardless — `models/nn.py`). The
+    reference's ``use_fp16`` flag (GradScaler mixed precision there,
+    `train_util.py:384-394`) maps to its TPU-native equivalent, bfloat16
+    compute, when no explicit ``dtype`` is given — it is honored, not
+    silently ignored. ``dtype`` accepts jnp dtypes or the strings
+    "bfloat16"/"float32" (CLI flag form); "float32"/None both mean
+    follow-the-input (float32 in every CLI path).
+    """
+    import jax.numpy as jnp
+
+    if isinstance(dtype, str):
+        try:
+            dtype = {
+                "": None,
+                "none": None,
+                "float32": None,  # inputs are f32 → identical to fp32 compute
+                "bfloat16": jnp.bfloat16,
+            }[dtype.lower()]
+        except KeyError:
+            raise ValueError(
+                f"[MODEL] dtype must be '', 'float32' or 'bfloat16' "
+                f"(fp16 has no TPU fast path; got {dtype!r})"
+            ) from None
+    if dtype is None and use_fp16:
+        dtype = jnp.bfloat16
     channel_mult = _parse_channel_mult(channel_mult, image_size)
     attention_ds = _attention_ds(attention_resolutions, image_size)
     if out_channels == 0:

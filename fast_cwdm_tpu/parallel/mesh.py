@@ -41,41 +41,68 @@ def setup_distributed() -> None:
     Manual (non-SLURM/OMPI/TPU-pod) launches set ``JAX_COORDINATOR_ADDRESS``
     + ``JAX_NUM_PROCESSES`` + ``JAX_PROCESS_ID`` explicitly — this JAX only
     auto-detects managed cluster environments, so the values are forwarded
-    to ``initialize()`` here; on managed environments leave all three unset
-    and auto-detection applies.
+    to ``initialize()`` here; on managed environments (SLURM, Open MPI,
+    Cloud-TPU pods) leave all three unset and auto-detection applies.
     """
     import os
 
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
     )
-    if coord is None:
-        return  # single-host launch
-    kwargs: dict = {}
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
-    if (nproc is None) != (pid is None):
+    manual = [coord, nproc, pid]
+    if any(v is not None for v in manual) and not all(
+        v is not None for v in manual
+    ):
         # a partial manual config would fall into auto-detect and die with
         # an unrelated cluster-detection error (or hang at rendezvous)
         raise RuntimeError(
             "manual jax.distributed launch needs ALL of "
             "JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES and "
-            f"JAX_PROCESS_ID (got num_processes={nproc!r}, "
-            f"process_id={pid!r})"
+            f"JAX_PROCESS_ID (got coordinator={coord!r}, "
+            f"num_processes={nproc!r}, process_id={pid!r})"
         )
-    if nproc is not None and pid is not None:
-        kwargs = dict(
-            coordinator_address=coord,
-            num_processes=int(nproc),
-            process_id=int(pid),
-        )
+    if coord is not None:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(nproc),
+                process_id=int(pid),
+            )
+        except RuntimeError as e:
+            # already initialized (or backends already up in-process):
+            # surface only genuinely new failures
+            if "already" not in str(e).lower():
+                raise
+        return
+    # Managed-cluster markers jax.distributed can auto-detect from —
+    # required to be genuinely MULTI-process (a dev box inside a SLURM
+    # allocation of 1 task, or a single-worker TPU VM where
+    # TPU_WORKER_HOSTNAMES is one hostname, stays single-process).
+    managed = (
+        int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
+        or os.environ.get("OMPI_MCA_orte_hnp_uri")
+        or "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if not managed:
+        return  # single-host launch
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize()
     except RuntimeError as e:
-        # already initialized (or backends already up in-process): surface
-        # only genuinely new failures
         if "already" not in str(e).lower():
             raise
+    except ValueError as e:
+        # markers looked multi-process but JAX's cluster detection could
+        # not resolve a coordinator — degrade LOUDLY to single-process
+        # (silent degradation would train independent unsynced replicas)
+        print(
+            "[setup_distributed] WARNING: managed-cluster markers present "
+            f"but jax.distributed auto-detection failed ({e}); continuing "
+            "single-process. Set JAX_COORDINATOR_ADDRESS / "
+            "JAX_NUM_PROCESSES / JAX_PROCESS_ID to launch manually."
+        )
 
 
 def make_mesh(

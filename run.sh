@@ -52,7 +52,8 @@ COMMON="--dims=3 --num_groups=32 --num_channels=64 --num_res_blocks=2
   --image_size=112 --in_channels=32 --out_channels=8 --resample_2d=False
   --use_scale_shift_norm=False --additive_skips=False
   --diffusion_steps=$TIMESTEPS --sample_schedule=$SAMPLING_STRATEGY
-  --noise_schedule=linear --predict_xstart=True --mode=i2i --dataset=brats"
+  --noise_schedule=linear --predict_xstart=True --mode=i2i --dataset=brats
+  --dtype=bfloat16"
 # use_checkpoint (remat) is required for the production backward pass to
 # fit/compile on a single v5e chip (see PERF.md)
 TRAIN="--data_dir=$DATA_DIR --lr=1e-5 --batch_size=1 --log_interval=100

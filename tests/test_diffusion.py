@@ -525,3 +525,45 @@ def test_cond_fn_threads_through_loops():
     # few 1e-4 at this schedule; assert it moved, and by a sane magnitude
     shift = float(jnp.abs(dpushed - dbase).max())
     assert 1e-5 < shift < 1e-2, shift
+
+
+def test_guidance_kwargs_accepted_by_legacy_wrappers():
+    """The reference's legacy loop variants all accept
+    cond_fn/denoised_fn/model_kwargs (`gaussian_diffusion.py:576,626,827,
+    914`); the wrappers must thread them rather than TypeError. A zero
+    cond_fn and an identity denoised_fn must be exact no-ops."""
+    d, img, x0 = _oracle_setup()
+    model_fn = lambda x, t: jnp.broadcast_to(x0, x.shape[:-1] + (8,))  # noqa: E731
+    key = jax.random.PRNGKey(7)
+    zero_fn = lambda x, t: jnp.zeros_like(x)  # noqa: E731
+    ident = lambda x: x  # noqa: E731
+
+    base = d.sample_known(model_fn, x0, key, noise_level=d.num_timesteps)
+    same = d.sample_known(
+        model_fn, x0, key, noise_level=d.num_timesteps,
+        cond_fn=zero_fn, denoised_fn=ident, model_kwargs={},
+    )
+    np.testing.assert_allclose(np.asarray(base), np.asarray(same), atol=1e-6)
+
+    b2, i2, _, _ = d.p_sample_loop_interpolation(
+        model_fn, x0.shape, key, img1=x0, img2=0.5 * x0, lambdaint=0.3,
+        noise_level=d.num_timesteps,
+    )
+    s2, si2, _, _ = d.p_sample_loop_interpolation(
+        model_fn, x0.shape, key, img1=x0, img2=0.5 * x0, lambdaint=0.3,
+        noise_level=d.num_timesteps,
+        cond_fn=zero_fn, denoised_fn=ident, model_kwargs={},
+    )
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(s2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(i2), np.asarray(si2), atol=1e-6)
+
+    b3, _, _, _ = d.ddim_sample_loop_interpolation(
+        model_fn, x0.shape, key, img1=x0, img2=0.5 * x0, lambdaint=0.3,
+        noise_level=d.num_timesteps,
+    )
+    s3, _, _, _ = d.ddim_sample_loop_interpolation(
+        model_fn, x0.shape, key, img1=x0, img2=0.5 * x0, lambdaint=0.3,
+        noise_level=d.num_timesteps,
+        cond_fn=zero_fn, denoised_fn=ident, model_kwargs={},
+    )
+    np.testing.assert_allclose(np.asarray(b3), np.asarray(s3), atol=1e-6)

@@ -252,6 +252,39 @@ class TestFactory:
         assert diffusion.num_timesteps == 10
         assert diffusion.mode == "i2i"
 
+    def test_dtype_flag_surface(self):
+        """--dtype is part of the flag schema; strings map to compute
+        dtypes, use_fp16 maps to bf16 (TPU-native mixed precision), and
+        the production bundle defaults to bf16 (PERF.md setting)."""
+        from fast_cwdm_tpu.cli import common
+
+        assert "dtype" in model_and_diffusion_defaults()
+        kw = dict(channel_mult="1,2", attention_resolutions="")
+        assert create_model(16, 8, 1, dtype="bfloat16", **kw).dtype == (
+            jnp.bfloat16
+        )
+        assert create_model(16, 8, 1, dtype="float32", **kw).dtype is None
+        assert create_model(16, 8, 1, dtype="", **kw).dtype is None
+        assert create_model(16, 8, 1, use_fp16=True, **kw).dtype == (
+            jnp.bfloat16
+        )
+        with pytest.raises(ValueError, match="dtype"):
+            create_model(16, 8, 1, dtype="fp16", **kw)
+        model, _ = common.build_model_and_diffusion(
+            common.production_config()
+        )
+        assert model.dtype == jnp.bfloat16
+        # bf16 compute still initializes/keeps fp32 params
+        x = jnp.zeros((1, 16, 16, 16, model.in_channels))
+        t = jnp.zeros((1,), jnp.int32)
+        tiny = create_model(16, 32, 1, dtype="bfloat16", in_channels=32,
+                            out_channels=8, **kw)
+        p = tiny.init(jax.random.PRNGKey(0), x, t)["params"]
+        leaves = jax.tree.leaves(p)
+        assert all(v.dtype == jnp.float32 for v in leaves)
+        out = tiny.apply({"params": p}, x, t)
+        assert out.dtype == jnp.float32  # head output cast back
+
     def test_out_channels_auto(self):
         m = create_model(64, 32, 1, channel_mult="1,2", in_channels=3,
                          learn_sigma=True, attention_resolutions="")
