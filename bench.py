@@ -113,7 +113,9 @@ def main():
     k_init, k_cond, k_noise, k_loop = jax.random.split(key, 4)
     cond = jax.random.normal(k_cond, (b, sx, sy, sz, 24), jnp.float32)
     noise = jax.random.normal(k_noise, lat, jnp.float32)
-    params = model.init(
+    # jitted init: ONE program instead of minutes of eager op-by-op
+    # tunnel dispatches (PERF.md "host-side dispatch pathologies")
+    params = jax.jit(model.init)(
         k_init, jnp.zeros((b, 16, 16, 16, 32)), jnp.zeros((b,), jnp.int32)
     )["params"]
 

@@ -45,6 +45,33 @@ PRODUCTION_OVERRIDES = dict(
 )
 
 
+def enable_compile_cache() -> None:
+    """Point XLA's persistent compilation cache at a durable directory.
+
+    The production sampling scan takes ~10-15 min to compile through the
+    axon remote compiler (see PERF.md); with the cache on, every later
+    process-start reuses the serialized executable. The reference pays
+    no such cost (torch eager) so this is the TPU-native answer to its
+    instant warm-up. ``FAST_CWDM_COMPILE_CACHE`` overrides the location;
+    set it to ``0``/``off`` to disable (e.g. on read-only filesystems).
+    """
+    loc = os.environ.get("FAST_CWDM_COMPILE_CACHE", "")
+    if loc.lower() in ("0", "off", "none"):
+        return
+    if not loc:
+        loc = os.path.join(
+            os.path.expanduser("~"), ".cache", "fast_cwdm_tpu", "xla"
+        )
+    try:
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        # 1s threshold: through the axon tunnel even "small" compiles cost
+        # seconds; caching them all is what makes warm starts warm
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception as e:  # noqa: BLE001 — cache is an optimization only
+        print(f"[cache] compile cache disabled: {e}")
+
+
 def production_config(**overrides) -> dict:
     """run.sh production flag bundle (`run.sh:41-135`) as a config dict."""
     cfg = dict(PRODUCTION_OVERRIDES)
@@ -65,7 +92,23 @@ def init_params(model, key=None, batch: int = 1):
     )
     x = jnp.zeros((batch, depth, depth, depth, model.in_channels))
     t = jnp.zeros((batch,), jnp.int32)
-    return model.init(key, x, t)["params"]
+    # jitted: eager init is minutes of op-by-op tunnel dispatch on axon
+    return jax.jit(model.init)(key, x, t)["params"]
+
+
+def param_template(model, batch: int = 1):
+    """Parameter STRUCTURE only (ShapeDtypeStruct leaves), via
+    `jax.eval_shape` — zero compute, zero device traffic. Eagerly running
+    `model.init` instead costs ~2 min of op-by-op tunnel dispatches on
+    axon (measured; see `load_params`), for values a deserialization
+    template immediately throws away."""
+    depth = max(16, 2 ** (len(tuple(model.channel_mult)) - 1) * 2)
+    x = jax.ShapeDtypeStruct(
+        (batch, depth, depth, depth, model.in_channels), jnp.float32
+    )
+    t = jax.ShapeDtypeStruct((batch,), jnp.int32)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    return jax.eval_shape(model.init, key, x, t)["params"]
 
 
 def load_params(path: str, model, *, use_ema: bool = False):
@@ -111,7 +154,7 @@ def load_params(path: str, model, *, use_ema: bool = False):
         UnpackException = ValueError
     deser_errors = (ValueError, TypeError, KeyError, IndexError, UnpackException)
 
-    template_params = init_params(model)
+    template_params = param_template(model)
     loaded = None
     last_err: Exception | None = None
     # checkpoints may carry 0..N EMA shadows; flax from_bytes is
@@ -143,15 +186,24 @@ def load_params(path: str, model, *, use_ema: bool = False):
     return loaded["params"]
 
 
+_COND_JIT: dict[str, object] = {}
+
+
 def prepare_condition(
     batch: dict[str, np.ndarray | jax.Array], contr: str, wavelet: str = "haar"
 ) -> jax.Array:
     """3 known modalities → 24-channel wavelet condition in the reference's
-    concat order (`scripts/sample.py:92-97`, order `gd.py:1102-1126`)."""
-    conds = [jnp.asarray(batch[m]) for m in condition_order(contr)]
-    return jnp.concatenate(
-        [wv.dwt_normalized(c, wavelet) for c in conds], axis=-1
-    )
+    concat order (`scripts/sample.py:92-97`, order `gd.py:1102-1126`).
+    One jitted program per wavelet — eager DWTs cost seconds of op-by-op
+    tunnel dispatch on axon."""
+    if wavelet not in _COND_JIT:
+        _COND_JIT[wavelet] = jax.jit(
+            lambda cs: jnp.concatenate(
+                [wv.dwt_normalized(c, wavelet) for c in cs], axis=-1
+            )
+        )
+    conds = tuple(jnp.asarray(batch[m]) for m in condition_order(contr))
+    return _COND_JIT[wavelet](conds)
 
 
 def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,

@@ -68,6 +68,7 @@ def main(argv=None) -> None:
     from fast_cwdm_tpu.diffusion.gaussian import condition_order
     from fast_cwdm_tpu.training.checkpoints import find_best_checkpoint
 
+    common.enable_compile_cache()
     args = create_argparser().parse_args(argv)
     key = jax.random.PRNGKey(args.seed)
     synth_cache: dict[str, object] = {}

@@ -65,6 +65,7 @@ def main(argv=None) -> None:
     from fast_cwdm_tpu.data import BRATSVolumes, Nifti1Image, ThreadedLoader, save
     from fast_cwdm_tpu.diffusion.gaussian import condition_order
 
+    common.enable_compile_cache()
     args = create_argparser().parse_args(argv)
     random.seed(args.seed)
     np.random.seed(args.seed)

@@ -67,6 +67,7 @@ def main(argv=None) -> None:
     from fast_cwdm_tpu.diffusion.gaussian import condition_order
     from fast_cwdm_tpu.training.checkpoints import find_best_checkpoint
 
+    common.enable_compile_cache()
     args = create_argparser().parse_args(argv)
     random.seed(args.seed)
     np.random.seed(args.seed)

@@ -84,6 +84,9 @@ def main(argv=None) -> None:
     from fast_cwdm_tpu.training import TrainLoop
     from fast_cwdm_tpu.utils import logger
 
+    from fast_cwdm_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     args = create_argparser().parse_args(argv)
     random.seed(args.seed)
     np.random.seed(args.seed)
@@ -121,6 +124,15 @@ def main(argv=None) -> None:
     import itertools
 
     epoch_counter = itertools.count()  # reshuffle differently every epoch
+    # multi-host: every process builds the same seeded permutation but
+    # decodes ONLY its own rows of each global batch (its devices' shard
+    # of the data axis); `TrainLoop._put` assembles the global array
+    rows = None
+    if mesh is not None and jax.process_count() > 1:
+        from fast_cwdm_tpu.parallel.mesh import local_batch_rows
+
+        rows = local_batch_rows(mesh, args.batch_size)
+        logger.log(f"local batch rows: [{rows[0]}, {rows[1]})")
     if args.dataset == "lidc-idri":
         # unconditional: batches are plain arrays
         def data():
@@ -128,10 +140,18 @@ def main(argv=None) -> None:
 
             rng = np.random.default_rng(args.seed + next(epoch_counter))
             order = rng.permutation(len(dataset))
+            if rows is not None:
+                n_full = len(order) // args.batch_size
+                order = (
+                    order[: n_full * args.batch_size]
+                    .reshape(n_full, args.batch_size)[:, rows[0]:rows[1]]
+                    .reshape(-1)
+                )
+            local_bs = args.batch_size if rows is None else rows[1] - rows[0]
             buf = []
             for item in iter_items(dataset, order, args.num_workers):
                 buf.append(item)
-                if len(buf) == args.batch_size:
+                if len(buf) == local_bs:
                     yield np.stack(buf)
                     buf = []
     else:
@@ -143,6 +163,7 @@ def main(argv=None) -> None:
                 dataset, args.batch_size, shuffle=True,
                 seed=args.seed + next(epoch_counter),
                 num_workers=args.num_workers,
+                rows=rows,
             )
 
     sampler = create_named_schedule_sampler(

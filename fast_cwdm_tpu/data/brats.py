@@ -182,18 +182,41 @@ def iterate_batches(
     drop_last: bool = True,
     keys=MODALITIES,
     num_workers: int = 0,
+    rows: tuple[int, int] | None = None,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Collate dict items into stacked numpy batches (modality keys only).
 
     ``num_workers > 0`` decodes items on a thread pool (the reference's
     DataLoader runs 12 worker processes, `train.py:66-69`) — the yielded
     batch sequence is identical to the serial path for any worker count.
+
+    ``rows=(start, stop)`` is the multi-host contract
+    (`parallel.mesh.local_batch_rows`): every process builds the same
+    seeded permutation, but this one decodes and yields only rows
+    ``[start, stop)`` of each ``batch_size``-row global batch — the only
+    rows its devices own, so nothing else is ever read from disk.
     """
     from fast_cwdm_tpu.data.loader import iter_items
 
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
+    if rows is not None:
+        start, stop = rows
+        if not (0 <= start < stop <= batch_size):
+            raise ValueError(f"rows {rows} outside batch [0, {batch_size})")
+        if not drop_last:
+            # a ragged global tail cannot shard evenly across processes
+            # (some would own rows that don't exist and stall the
+            # collective batch assembly)
+            raise ValueError("rows= requires drop_last=True")
+        n_full = len(order) // batch_size
+        order = (
+            order[: n_full * batch_size]
+            .reshape(n_full, batch_size)[:, start:stop]
+            .reshape(-1)
+        )
+        batch_size = stop - start
     items = iter_items(dataset, order, num_workers)
     batch: list[dict] = []
     for item in items:

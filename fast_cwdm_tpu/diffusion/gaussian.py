@@ -5,7 +5,8 @@ TPU-first re-design of the reference `GaussianDiffusion`
 
 * All schedule tables are precomputed in float64 on the host (matching the
   reference's numpy-float64 discipline, `gaussian_diffusion.py:160-205`) and
-  stored as float32 device arrays in a `flax.struct` pytree, so the whole
+  stored as float32 HOST numpy tables in a `flax.struct` pytree (lowered as
+  embedded constants — zero per-trace device traffic), so the whole
   object threads through `jax.jit`/`lax.scan` without host sync.
 * The reverse process (`p_sample_loop`) is a single `lax.scan` — the entire
   T-step chain, including the per-step IDWT→clamp→DWT x0 projection
@@ -68,33 +69,39 @@ class LossType(str, enum.Enum):
         return self in (LossType.KL, LossType.RESCALED_KL)
 
 
-def _extract(table: jax.Array, t: jax.Array, ndim: int) -> jax.Array:
+def _extract(table, t: jax.Array, ndim: int) -> jax.Array:
     """Gather per-timestep coefficients and broadcast over trailing dims
-    (`_extract_into_tensor`, `gaussian_diffusion.py:1246-1263`)."""
-    out = table[t].astype(jnp.float32)
+    (`_extract_into_tensor`, `gaussian_diffusion.py:1246-1263`). Tables
+    are HOST numpy; jnp.asarray lowers them as embedded constants (a
+    device-array closure constant would cost a D2H fetch per trace)."""
+    out = jnp.asarray(table, dtype=jnp.float32)[t]
     return out.reshape(out.shape + (1,) * (ndim - 1))
 
 
 @struct.dataclass
 class GaussianDiffusion:
-    """Diffusion schedule tables + process configuration (a jit-able pytree)."""
+    """Diffusion schedule tables + process configuration (a jit-able
+    pytree). Tables are HOST numpy float32: consumed only through
+    `_extract`, they lower into jitted programs as embedded constants
+    with zero device traffic (device-array leaves cost one D2H fetch
+    PER TABLE at every trace through the axon tunnel — see PERF.md)."""
 
-    betas: jax.Array
-    alphas_cumprod: jax.Array
-    alphas_cumprod_prev: jax.Array
-    alphas_cumprod_next: jax.Array
-    sqrt_alphas_cumprod: jax.Array
-    sqrt_one_minus_alphas_cumprod: jax.Array
-    log_one_minus_alphas_cumprod: jax.Array
-    sqrt_recip_alphas_cumprod: jax.Array
-    sqrt_recipm1_alphas_cumprod: jax.Array
-    posterior_variance: jax.Array
-    posterior_log_variance_clipped: jax.Array
-    posterior_mean_coef1: jax.Array
-    posterior_mean_coef2: jax.Array
-    fixed_large_variance: jax.Array
-    fixed_large_log_variance: jax.Array
-    log_betas: jax.Array
+    betas: np.ndarray
+    alphas_cumprod: np.ndarray
+    alphas_cumprod_prev: np.ndarray
+    alphas_cumprod_next: np.ndarray
+    sqrt_alphas_cumprod: np.ndarray
+    sqrt_one_minus_alphas_cumprod: np.ndarray
+    log_one_minus_alphas_cumprod: np.ndarray
+    sqrt_recip_alphas_cumprod: np.ndarray
+    sqrt_recipm1_alphas_cumprod: np.ndarray
+    posterior_variance: np.ndarray
+    posterior_log_variance_clipped: np.ndarray
+    posterior_mean_coef1: np.ndarray
+    posterior_mean_coef2: np.ndarray
+    fixed_large_variance: np.ndarray
+    fixed_large_log_variance: np.ndarray
+    log_betas: np.ndarray
 
     num_timesteps: int = struct.field(pytree_node=False, default=1000)
     mean_type: MeanType = struct.field(
@@ -147,7 +154,12 @@ class GaussianDiffusion:
         )
         # FIXED_LARGE table (`gaussian_diffusion.py:319-333`)
         fl_var = np.append(posterior_variance[1], betas[1:])
-        f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)  # noqa: E731
+        # HOST float32 tables (numpy, not device arrays): as jit closure
+        # constants they lower straight from host memory. Eager
+        # `jnp.asarray` tables cost a device round-trip PER TABLE at
+        # every trace — measured 66 s/table through the axon tunnel
+        # (4 tables → 264 s of a 266 s "compile"); see PERF.md.
+        f32 = lambda a: np.asarray(a, dtype=np.float32)  # noqa: E731
         return cls(
             betas=f32(betas),
             alphas_cumprod=f32(acp),

@@ -67,13 +67,13 @@ def space_timesteps(num_timesteps: int, section_counts) -> Set[int]:
 class SpacedDiffusion(GaussianDiffusion):
     """GaussianDiffusion over a subsequence of base timesteps."""
 
-    timestep_map: jax.Array = None
+    timestep_map: np.ndarray = None
     original_num_steps: int = struct.field(pytree_node=False, default=1000)
 
     def scale_timesteps(self, t: jax.Array) -> jax.Array:
         """Map compact t → original t, then rescale against the ORIGINAL
         step count (`respace.py:120-131`)."""
-        new_t = self.timestep_map[t]
+        new_t = jnp.asarray(self.timestep_map)[t]
         if self.rescale_timesteps:
             return new_t.astype(jnp.float32) * (
                 1000.0 / self.original_num_steps
@@ -104,6 +104,8 @@ def create_spaced_diffusion(
     base = GaussianDiffusion.create(np.array(new_betas), **kwargs)
     return SpacedDiffusion(
         **{f.name: getattr(base, f.name) for f in base.__dataclass_fields__.values()},
-        timestep_map=jnp.asarray(timestep_map, dtype=jnp.int32),
+        # host numpy like every schedule table (device-array closure
+        # constants cost a D2H round-trip per trace on axon, gaussian.py)
+        timestep_map=np.asarray(timestep_map, dtype=np.int32),
         original_num_steps=original_num_steps,
     )

@@ -205,12 +205,56 @@ def shard_params(mesh: Mesh, params):
     )
 
 
-def shard_batch(mesh: Mesh, tree):
-    """Device-put a host batch pytree with batch/data (+ spatial) sharding."""
+def shard_batch(mesh: Mesh, tree, *, global_batch: int | None = None):
+    """Device-put a host batch pytree with batch/data (+ spatial) sharding.
+
+    Single-process: ``tree`` holds GLOBAL batches and ``jax.device_put``
+    slices out each device's shard. Multi-host: pass ``global_batch`` and
+    feed each process only its OWN rows (:func:`local_batch_rows`) — the
+    global array is assembled from the per-process shards without any
+    cross-host transfer. The reference decodes the full DataLoader batch
+    on every rank instead (`train.py:66-69` + DistributedSampler absent).
+    """
+    if global_batch is not None and jax.process_count() > 1:
+        def put(x):
+            sh = batch_sharding(mesh, np.ndim(x))
+            gshape = (global_batch,) + tuple(np.shape(x)[1:])
+            return jax.make_array_from_process_local_data(sh, x, gshape)
+
+        return jax.tree.map(put, tree)
+
     def put(x):
         return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
 
     return jax.tree.map(put, tree)
+
+
+def local_batch_rows(mesh: Mesh, global_batch: int) -> tuple[int, int]:
+    """The contiguous ``[start, stop)`` row range of a ``global_batch``-row
+    batch owned by THIS process's devices under :func:`batch_sharding`.
+
+    Multi-host input pipeline contract: every process builds the same
+    seeded case permutation, decodes only these rows of each global batch,
+    and :func:`shard_batch` (with ``global_batch=``) assembles the global
+    array. Row→device mapping is taken from the sharding itself, so any
+    device order `make_hybrid_mesh` produces stays consistent.
+    """
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    idx_map = sh.addressable_devices_indices_map((global_batch,))
+    blocks = set()
+    for idx in idx_map.values():
+        s = idx[0]
+        blocks.add((s.start or 0, global_batch if s.stop is None else s.stop))
+    starts = sorted(b[0] for b in blocks)
+    stops = sorted(b[1] for b in blocks)
+    lo, hi = starts[0], stops[-1]
+    if sum(b[1] - b[0] for b in blocks) != hi - lo:
+        # hybrid device orders always give each process one contiguous
+        # data-axis block; anything else means the mesh was hand-built
+        raise ValueError(
+            f"process rows not contiguous under this mesh: {sorted(blocks)}"
+        )
+    return lo, hi
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:

@@ -136,23 +136,33 @@ class TrainLoop:
         from fast_cwdm_tpu.ops import wavelet as wv
 
         key_init, self.key = jax.random.split(self.key)
+        # ONE jitted program for DWT+init: run eagerly these are hundreds
+        # of op-by-op tunnel dispatches (~minutes at production shape on
+        # axon — PERF.md "host-side dispatch pathologies")
         if self.mode == "i2i":
             x = batch[self.contr]
-            sample_in = jnp.concatenate(
-                [
-                    wv.dwt_normalized(jnp.asarray(x)),
-                    *[
-                        wv.dwt_normalized(jnp.asarray(batch[m]))
-                        for m in sorted(batch)
-                        if m != self.contr
-                    ],
-                ],
-                axis=-1,
-            )
+            others = [batch[m] for m in sorted(batch) if m != self.contr]
+
+            @jax.jit
+            def init_i2i(key, x, others):
+                sample_in = jnp.concatenate(
+                    [wv.dwt_normalized(x)]
+                    + [wv.dwt_normalized(o) for o in others],
+                    axis=-1,
+                )
+                t0 = jnp.zeros((sample_in.shape[0],), jnp.int32)
+                return self.model.init(key, sample_in, t0)
+
+            variables = init_i2i(key_init, jnp.asarray(x), others)
         else:
-            sample_in = wv.dwt_normalized(jnp.asarray(batch))
-        t0 = np.zeros((sample_in.shape[0],), np.int32)
-        variables = self.model.init(key_init, sample_in, t0)
+
+            @jax.jit
+            def init_plain(key, x):
+                sample_in = wv.dwt_normalized(x)
+                t0 = jnp.zeros((sample_in.shape[0],), jnp.int32)
+                return self.model.init(key, sample_in, t0)
+
+            variables = init_plain(key_init, jnp.asarray(batch))
         params = variables["params"]
         n_params = sum(p.size for p in jax.tree.leaves(params))
         logger.log(f"creating model: {n_params/1e6:.2f}M params")
@@ -217,9 +227,15 @@ class TrainLoop:
 
     # ------------------------------------------------------------------
     def _put(self, batch):
-        """Host batch → device (sharded over the mesh if present)."""
+        """Host batch → device (sharded over the mesh if present).
+
+        Multi-host: the data factory yields only this process's rows
+        (`local_batch_rows`); `shard_batch(global_batch=...)` assembles
+        the global array from the per-process shards.
+        """
         if self.mesh is not None:
-            return pmesh.shard_batch(self.mesh, batch)
+            gb = self.batch_size if jax.process_count() > 1 else None
+            return pmesh.shard_batch(self.mesh, batch, global_batch=gb)
         return jax.tree.map(jax.device_put, batch)
 
     def run_loop(self) -> TrainState:

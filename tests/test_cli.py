@@ -311,3 +311,28 @@ def test_ddim_sampler_selection():
     assert calls == ["ddim"]  # ddim path used once, ddpm path not routed
     assert ddim.shape == ddpm.shape
     assert np.isfinite(ddim).all() and np.isfinite(ddpm).all()
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """Every compute CLI turns on XLA's persistent compilation cache
+    (the TPU-native answer to torch-eager's zero warm-up: production
+    scan compiles are ~10-15 min through the remote compiler, PERF.md).
+    Env var overrides the location; "off" disables."""
+    import jax
+
+    from fast_cwdm_tpu.cli import common
+
+    loc = tmp_path / "xla_cache"
+    monkeypatch.setenv("FAST_CWDM_COMPILE_CACHE", str(loc))
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        common.enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(loc)
+        assert loc.is_dir()
+        # disabled: config untouched
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("FAST_CWDM_COMPILE_CACHE", "off")
+        common.enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -183,6 +183,29 @@ class TestLoader:
                 for k in bs:
                     np.testing.assert_array_equal(bs[k], bt[k])
 
+    def test_rows_slice_matches_global_batches(self, tmp_path):
+        """Multi-host input contract (`parallel.mesh.local_batch_rows`):
+        iterate_batches(rows=(a, b)) must yield exactly rows [a, b) of
+        each global batch — same permutation, only the local shard read."""
+        root = str(tmp_path / "data")
+        for i in range(7):
+            _make_case(
+                os.path.join(root, f"0000{i}"), ["t1n", "t1c", "t2w", "t2f"]
+            )
+        ds = BRATSVolumes(root)
+        full = list(iterate_batches(ds, 3, shuffle=True, seed=5))
+        for a, b in ((0, 1), (1, 3)):
+            part = list(
+                iterate_batches(ds, 3, shuffle=True, seed=5, rows=(a, b))
+            )
+            assert len(part) == len(full)
+            for bf, bp in zip(full, part):
+                for k in bf:
+                    np.testing.assert_array_equal(bf[k][a:b], bp[k])
+        # ragged tails can't shard across processes
+        with pytest.raises(ValueError, match="drop_last"):
+            next(iter(iterate_batches(ds, 3, drop_last=False, rows=(0, 1))))
+
 
 class TestSaveDeterminism:
     def test_gzip_output_reproducible_and_loadable(self, tmp_path):

@@ -238,6 +238,25 @@ arr = jax.make_array_from_process_local_data(
 total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
 val = float(np.asarray(jax.device_get(total.addressable_shards[0].data)))
 print(f"RESULT {rank} {val}", flush=True)
+
+# multi-host input pipeline contract: each process owns a disjoint
+# contiguous row block of the global batch, decodes ONLY those rows, and
+# shard_batch(global_batch=...) assembles the global array — the summed
+# global batch must equal the full-batch sum on both ranks
+from fast_cwdm_tpu.parallel.mesh import local_batch_rows, shard_batch
+B = 4
+lo, hi = local_batch_rows(mesh, B)
+assert hi - lo == B // 2, (lo, hi)
+print(f"ROWS {rank} {lo} {hi}", flush=True)
+global_batch = np.arange(B * 3, dtype=np.float32).reshape(B, 3)
+batch = {"x": global_batch[lo:hi]}  # the only rows this rank "decoded"
+dev_batch = shard_batch(mesh, batch, global_batch=B)
+tot = jax.jit(
+    lambda t: jnp.sum(t["x"]), out_shardings=NamedSharding(mesh, P())
+)(dev_batch)
+tot = float(np.asarray(jax.device_get(tot.addressable_shards[0].data)))
+assert tot == float(global_batch.sum()), (tot, global_batch.sum())
+print(f"BATCHSUM {rank} {tot}", flush=True)
 """
 
 
@@ -282,6 +301,8 @@ def test_two_process_distributed_psum(tmp_path):
                 )
             )
         results = {}
+        rows = {}
+        batchsums = {}
         errs = []
         for rank, p in enumerate(procs):
             out, err = p.communicate(timeout=240)
@@ -292,12 +313,22 @@ def test_two_process_distributed_psum(tmp_path):
                 if line.startswith("RESULT"):
                     _, r, v = line.split()
                     results[int(r)] = float(v)
-        return results, errs
+                elif line.startswith("ROWS"):
+                    _, r, lo, hi = line.split()
+                    rows[int(r)] = (int(lo), int(hi))
+                elif line.startswith("BATCHSUM"):
+                    _, r, v = line.split()
+                    batchsums[int(r)] = float(v)
+        return results, rows, batchsums, errs
 
-    results, errs = attempt()
+    results, rows, batchsums, errs = attempt()
     if errs:  # fresh port, one retry
-        results, errs = attempt()
+        results, rows, batchsums, errs = attempt()
     assert not errs, errs[0]
     # ranks agree, and the value is the cross-process sum:
     # rank0 contributes [0, 1], rank1 [10, 11] -> 22
     assert results == {0: 22.0, 1: 22.0}
+    # per-process data shards: disjoint halves covering the global batch,
+    # and the assembled global batch sums identically on both ranks
+    assert sorted(rows.values()) == [(0, 2), (2, 4)], rows
+    assert batchsums == {0: 66.0, 1: 66.0}, batchsums
