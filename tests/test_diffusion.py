@@ -567,3 +567,30 @@ def test_guidance_kwargs_accepted_by_legacy_wrappers():
         cond_fn=zero_fn, denoised_fn=ident, model_kwargs={},
     )
     np.testing.assert_allclose(np.asarray(b3), np.asarray(s3), atol=1e-6)
+
+
+def test_schedule_tables_are_host_numpy():
+    """Regression guard for the axon trace-time pathology (PERF.md
+    round-2 session 3): schedule tables must be HOST numpy — a device
+    array captured as a jit closure constant costs a D2H fetch PER TABLE
+    at every trace (~66 s each through the tunnel)."""
+    import dataclasses
+
+    from fast_cwdm_tpu.diffusion.respace import (
+        create_spaced_diffusion,
+        space_timesteps,
+    )
+    from fast_cwdm_tpu.diffusion.schedules import get_named_beta_schedule
+
+    betas = get_named_beta_schedule("linear", 100)
+    d = GaussianDiffusion.create(betas)
+    sd = create_spaced_diffusion(
+        use_timesteps=space_timesteps(100, [10]), betas=betas
+    )
+    for obj in (d, sd):
+        for f in dataclasses.fields(obj):
+            v = getattr(obj, f.name)
+            assert not isinstance(v, jax.Array), (
+                f"{type(obj).__name__}.{f.name} is a device array; "
+                "schedule tables must stay host numpy"
+            )
