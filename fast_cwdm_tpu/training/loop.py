@@ -239,6 +239,30 @@ class TrainLoop:
         return jax.tree.map(jax.device_put, batch)
 
     def run_loop(self) -> TrainState:
+        # Preemption safety: TPU pods get SIGTERM'd (spot reclaim, pod
+        # reschedule). Trap it, finish the in-flight step, write a
+        # step-stamped checkpoint, and exit cleanly — `--resume_checkpoint`
+        # continues from it. The reference loses all progress since the
+        # last best-save on preemption. Handler installs only in the main
+        # thread and the previous disposition is restored on exit.
+        import signal
+
+        preempted = []
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(
+                signal.SIGTERM,
+                lambda signum, frame: preempted.append(signum),
+            )
+        except ValueError:  # not the main thread — run unguarded
+            pass
+        try:
+            return self._run_loop(preempted)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _run_loop(self, preempted) -> TrainState:
         data_iter = _infinite(self.data_factory)
         if self.prefetch > 0:
             # keep `prefetch` batches already on device (sharded) while the
@@ -350,6 +374,15 @@ class TrainLoop:
                     logger.log("DIFFUSION_TRAINING_TEST: early exit")
                     ckpt.wait_for_pending_saves()
                     return self.state
+
+            if preempted:
+                logger.log(
+                    f"SIGTERM at step {step}: writing preemption "
+                    "checkpoint and exiting"
+                )
+                self.save(step)
+                ckpt.wait_for_pending_saves()
+                return self.state
 
         ckpt.wait_for_pending_saves()
         return self.state

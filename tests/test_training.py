@@ -479,3 +479,92 @@ class TestAsyncWriteFailure:
         )
         with pytest.raises(RuntimeError, match="async checkpoint write"):
             ckpt.wait_for_pending_saves()
+
+
+_PREEMPT_CHILD = r"""
+import sys, os
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+sys.path.insert(0, os.environ["TEST_DIR"])
+from test_training import tiny_model, make_batch
+from fast_cwdm_tpu.diffusion import GaussianDiffusion
+from fast_cwdm_tpu.training import TrainLoop
+
+model = tiny_model()
+diffusion = GaussianDiffusion.named("linear", 10, "sampled", mode="i2i")
+batch = jax.tree.map(np.asarray, make_batch(jax.random.PRNGKey(0)))
+
+def data():
+    while True:
+        yield batch
+
+loop = TrainLoop(
+    model=model, diffusion=diffusion, data=data, batch_size=2, lr=1e-4,
+    log_interval=10_000, save_interval=10_000, mode="i2i", contr="t1n",
+    sample_schedule="sampled", diffusion_steps=10,
+    checkpoint_dir=os.environ["CKPT_DIR"], lr_anneal_steps=10_000,
+)
+
+import threading
+def watch():
+    # first step done -> tell the parent we're mid-run
+    import time
+    while loop.state is None:
+        time.sleep(0.05)
+    print("RUNNING", flush=True)
+threading.Thread(target=watch, daemon=True).start()
+state = loop.run_loop()
+print(f"EXITED_AT {int(state.step)}", flush=True)
+"""
+
+
+def test_sigterm_preemption_checkpoint(tmp_path):
+    """TPU pods are preempted with SIGTERM: the loop must finish the
+    in-flight step, write a step-stamped checkpoint, and exit cleanly so
+    --resume_checkpoint continues from it (the reference loses everything
+    since the last best-save)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    script = tmp_path / "preempt_child.py"
+    script.write_text(_PREEMPT_CHILD)
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    env = dict(os.environ)
+    env.update(
+        TEST_DIR=os.path.dirname(os.path.abspath(__file__)),
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        CKPT_DIR=str(ckdir),
+        JAX_PLATFORMS="cpu",
+    )
+    p = subprocess.Popen(
+        [sys.executable, str(script)], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    # wait until the loop is demonstrably mid-run, then preempt
+    deadline = time.time() + 180
+    line = ""
+    while time.time() < deadline:
+        line = p.stdout.readline()
+        if "RUNNING" in line:
+            break
+    assert "RUNNING" in line, p.stderr.read()[-2000:]
+    p.send_signal(signal.SIGTERM)
+    out, err = p.communicate(timeout=180)
+    assert p.returncode == 0, err[-2000:]
+    assert "EXITED_AT" in out, (out, err[-2000:])
+    step = int(out.split("EXITED_AT")[1].split()[0])
+    assert step >= 1
+    # a step-stamped checkpoint for that step exists and is resumable
+    from fast_cwdm_tpu.training.checkpoints import (
+        parse_resume_step_from_filename,
+    )
+    cks = [f for f in os.listdir(ckdir) if "BEST" not in f
+           and f.endswith((".ckpt", ".orbax"))]
+    assert cks, os.listdir(ckdir)
+    assert any(parse_resume_step_from_filename(f) == step for f in cks), (
+        cks, step
+    )
