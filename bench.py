@@ -157,13 +157,20 @@ def main():
                 model_fn, lat, key, cond=cond, noise=noise
             )
 
+    # force completion with a tiny D2H fetch of a value that depends on
+    # the result: block_until_ready returns EARLY through the axon tunnel
+    # (verify-skill gotcha) and once silently timed dispatch-only
+    # (5 ms "per volume"); a dependent fetch cannot lie
+    def force(x):
+        return float(np.asarray(jnp.sum(x[..., :1, :1, :1])))
+
     out = sample_fused(params, noise, cond, k_loop)
-    out.block_until_ready()  # compile
+    force(out)  # compile
     times = []
     for i in range(args.repeats):
         t0 = time.perf_counter()
         out = sample_fused(params, noise, cond, jax.random.fold_in(k_loop, i))
-        out.block_until_ready()
+        force(out)
         times.append(time.perf_counter() - t0)
     fused_s = min(times)
     vol_per_hour = 3600.0 / fused_s * b

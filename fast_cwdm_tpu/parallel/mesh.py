@@ -239,6 +239,7 @@ def local_batch_rows(mesh: Mesh, global_batch: int) -> tuple[int, int]:
     array. Row→device mapping is taken from the sharding itself, so any
     device order `make_hybrid_mesh` produces stays consistent.
     """
+    local_batch_size(global_batch, mesh)  # validates divisibility
     sh = NamedSharding(mesh, P(DATA_AXIS))
     idx_map = sh.addressable_devices_indices_map((global_batch,))
     blocks = set()
