@@ -91,9 +91,14 @@ def main(argv=None) -> None:
     random.seed(args.seed)
     np.random.seed(args.seed)
 
-    logger.configure()
+    setup_distributed()  # before logger: sinks are rank-gated
+    if jax.process_index() == 0:
+        logger.configure()
+    else:
+        # secondary ranks: stdout only — file/TB/wandb sinks on a shared
+        # filesystem would race with rank 0's
+        logger.configure(format_strs=["stdout"])
     logger.log("creating model and diffusion...")
-    setup_distributed()
 
     cfg = args_to_dict(args, model_and_diffusion_defaults().keys())
     if args.mode == "i2i":

@@ -390,6 +390,11 @@ class TrainLoop:
     # ------------------------------------------------------------------
     def save_if_best(self, loss: float, step: int) -> bool:
         """(`train_util.py:315-362`)"""
+        if jax.process_index() != 0:
+            # params/EMA are replicated across the data axis: rank 0 owns
+            # the (shared-filesystem) checkpoint files and best-loss
+            # ledger; concurrent writers would race
+            return False
         payload = {
             "params": self.state.params,
             "ema_params": self.state.ema_params,
@@ -423,6 +428,8 @@ class TrainLoop:
 
     def save(self, step: int) -> None:
         """Legacy step-stamped save (`train_util.py:476-514`)."""
+        if jax.process_index() != 0:
+            return  # rank 0 owns checkpoint files (see save_if_best)
         name = ckpt.step_checkpoint_name(
             self.contr,
             step,
