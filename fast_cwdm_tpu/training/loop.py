@@ -226,6 +226,21 @@ class TrainLoop:
         self._pending_resume = None
 
     # ------------------------------------------------------------------
+    def _fetch_metrics(self, metrics):
+        """Metrics → host. Multi-host: per-sample leaves (loss_per_sample,
+        t) are data-sharded ACROSS processes, so a plain device_get raises
+        on non-addressable shards; allgather them instead. Collective —
+        every rank reaches this at the same log/save steps."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return jax.tree.map(
+                np.asarray,
+                multihost_utils.process_allgather(metrics, tiled=True),
+            )
+        return jax.device_get(metrics)
+
+    # ------------------------------------------------------------------
     def _put(self, batch):
         """Host batch → device (sharded over the mesh if present).
 
@@ -299,7 +314,7 @@ class TrainLoop:
             step += 1
 
             if step % self.log_interval == 0:
-                m = jax.device_get(last_metrics)
+                m = self._fetch_metrics(last_metrics)
                 loss = float(m["loss"])
                 if not np.isfinite(loss):
                     # failure detection (`train_util.py:377-383` warns or
@@ -366,7 +381,7 @@ class TrainLoop:
 
             if step % self.save_interval == 0:
                 t3 = time.time()
-                m = jax.device_get(last_metrics)
+                m = self._fetch_metrics(last_metrics)
                 loss = float(m["loss"])
                 self.save_if_best(loss, step)
                 t_save += time.time() - t3

@@ -332,3 +332,99 @@ def test_two_process_distributed_psum(tmp_path):
     # and the assembled global batch sums identically on both ranks
     assert sorted(rows.values()) == [(0, 2), (2, 4)], rows
     assert batchsums == {0: 66.0, 1: 66.0}, batchsums
+
+
+_DIST_TRAIN_CHILD = r"""
+import os, sys, glob
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+sys.path.insert(0, os.environ["TEST_DIR"])
+from fast_cwdm_tpu.parallel import make_hybrid_mesh, setup_distributed
+setup_distributed()
+rank = jax.process_index()
+from test_training import tiny_model, make_batch
+from fast_cwdm_tpu.diffusion import GaussianDiffusion
+from fast_cwdm_tpu.training import TrainLoop
+from fast_cwdm_tpu.parallel.mesh import local_batch_rows
+
+mesh = make_hybrid_mesh(sp=1)
+model = tiny_model()
+diffusion = GaussianDiffusion.named("linear", 10, "sampled", mode="i2i")
+B = 4
+rows = local_batch_rows(mesh, B)
+print(f"ROWS {rank} {rows[0]} {rows[1]}", flush=True)
+gbatch = jax.tree.map(np.asarray, make_batch(jax.random.PRNGKey(0), b=B))
+
+def data():  # each process feeds ONLY its own rows of the global batch
+    while True:
+        yield {k: v[rows[0]:rows[1]] for k, v in gbatch.items()}
+
+loop = TrainLoop(
+    model=model, diffusion=diffusion, data=data, batch_size=B, lr=1e-4,
+    log_interval=1, save_interval=2, mode="i2i", contr="t1n",
+    sample_schedule="sampled", diffusion_steps=10, lr_anneal_steps=2,
+    checkpoint_dir=os.environ["CKPT_DIR"], mesh=mesh, seed=7,
+)
+state = loop.run_loop()
+print(f"DONE {rank} step={int(state.step)}", flush=True)
+"""
+
+
+def test_two_process_train_loop(tmp_path):
+    """Full multi-host training path, two REAL processes on a shared
+    checkpoint dir: hybrid mesh, per-process input rows, global batch
+    assembly, collective metric fetch (per-sample metrics span
+    non-addressable shards — a plain device_get raises), and
+    rank-0-only checkpoint/ledger writes."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    script = tmp_path / "dist_train_child.py"
+    script.write_text(_DIST_TRAIN_CHILD)
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update(
+            PYTHONPATH=repo,
+            TEST_DIR=os.path.join(repo, "tests"),
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+            CKPT_DIR=str(ckdir),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    rows = {}
+    done = {}
+    for rank, p in enumerate(procs):
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"rank {rank}:\n{err[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("ROWS"):
+                _, r, lo, hi = line.split()
+                rows[int(r)] = (int(lo), int(hi))
+            elif line.startswith("DONE"):
+                done[int(rank)] = line
+    # disjoint contiguous halves of the global batch
+    assert sorted(rows.values()) == [(0, 2), (2, 4)], rows
+    assert len(done) == 2, done
+    # rank 0 wrote the full best-checkpoint set exactly once
+    files = sorted(os.listdir(ckdir))
+    assert "best_losses.txt" in files, files
+    assert "brats_t1n_BEST_sampled_10.ckpt" in files, files
