@@ -48,6 +48,12 @@ def create_argparser() -> argparse.ArgumentParser:
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--threshold", type=float, default=0.0)
     p.add_argument(
+        "--shard", default="",
+        help="fleet sharding 'i/N': process every N-th case starting at "
+        "i (0-based). Run one invocation per host/chip for a pod-scale "
+        "sweep; shards are disjoint by construction",
+    )
+    p.add_argument(
         "--dtype", default="",
         help="compute dtype override: bfloat16 (production default) or "
         "float32; a runtime choice, never read from the checkpoint",
@@ -126,6 +132,17 @@ def main(argv=None) -> None:
         )
         if os.path.isdir(d)
     )
+    if args.shard:
+        try:
+            i, n = (int(x) for x in args.shard.split("/"))
+            assert 0 <= i < n
+        except Exception:
+            raise SystemExit(
+                f"--shard must be 'i/N' with 0 <= i < N, got {args.shard!r}"
+            ) from None
+        total = len(case_dirs)
+        case_dirs = case_dirs[i::n]
+        print(f"[complete] shard {i}/{n}: {len(case_dirs)} of {total} cases")
     print(f"[complete] {len(case_dirs)} cases")
     # per-case accounting: a case is failed if its synchronous stage raises
     # OR its async sample-write fails OR its async copy-through fails —

@@ -336,3 +336,26 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir is None
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_complete_dataset_shard_selection(tmp_path):
+    """--shard i/N processes the strided case subset; shards are disjoint
+    and cover the input (fleet operation: one invocation per host)."""
+    from fast_cwdm_tpu.cli import complete_dataset as cd
+
+    root = tmp_path / "val"
+    for i in range(5):
+        _make_case(str(root / f"{i:05d}"), modalities=("t1n", "t2w", "t2f"))
+
+    # the strided selection main() applies: disjoint shards covering all
+    case_dirs = sorted(str(p) for p in root.iterdir() if p.is_dir())
+    shards = [case_dirs[k::2] for k in range(2)]
+    assert sorted(shards[0] + shards[1]) == case_dirs
+    assert not set(shards[0]) & set(shards[1])
+    # flag surface: parser accepts it and rejects malformed values
+    p = cd.create_argparser()
+    assert p.parse_args(["--input_dir", "x", "--output_dir", "y",
+                         "--checkpoint_dir", "z", "--shard", "1/2"]).shard == "1/2"
+    with pytest.raises(SystemExit):
+        cd.main(["--input_dir", str(root), "--output_dir", str(tmp_path / "o"),
+                 "--checkpoint_dir", str(tmp_path), "--shard", "2/2"])
