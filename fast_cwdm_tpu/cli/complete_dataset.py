@@ -54,7 +54,7 @@ def create_argparser() -> argparse.ArgumentParser:
         "sweep; shards are disjoint by construction",
     )
     p.add_argument(
-        "--dtype", default="",
+        "--dtype", default="", choices=["", "float32", "bfloat16"],
         help="compute dtype override: bfloat16 (production default) or "
         "float32; a runtime choice, never read from the checkpoint",
     )
@@ -135,11 +135,12 @@ def main(argv=None) -> None:
     if args.shard:
         try:
             i, n = (int(x) for x in args.shard.split("/"))
-            assert 0 <= i < n
-        except Exception:
+        except ValueError:
+            i, n = -1, 0  # malformed → rejected below
+        if not 0 <= i < n:
             raise SystemExit(
                 f"--shard must be 'i/N' with 0 <= i < N, got {args.shard!r}"
-            ) from None
+            )
         total = len(case_dirs)
         case_dirs = case_dirs[i::n]
         print(f"[complete] shard {i}/{n}: {len(case_dirs)} of {total} cases")

@@ -141,18 +141,15 @@ def main(argv=None) -> None:
     if args.dataset == "lidc-idri":
         # unconditional: batches are plain arrays
         def data():
-            from fast_cwdm_tpu.data.loader import iter_items
+            from fast_cwdm_tpu.data.loader import iter_items, shard_order_rows
 
             rng = np.random.default_rng(args.seed + next(epoch_counter))
             order = rng.permutation(len(dataset))
+            local_bs = args.batch_size
             if rows is not None:
-                n_full = len(order) // args.batch_size
-                order = (
-                    order[: n_full * args.batch_size]
-                    .reshape(n_full, args.batch_size)[:, rows[0]:rows[1]]
-                    .reshape(-1)
+                order, local_bs = shard_order_rows(
+                    order, args.batch_size, rows
                 )
-            local_bs = args.batch_size if rows is None else rows[1] - rows[0]
             buf = []
             for item in iter_items(dataset, order, args.num_workers):
                 buf.append(item)

@@ -196,27 +196,18 @@ def iterate_batches(
     ``[start, stop)`` of each ``batch_size``-row global batch — the only
     rows its devices own, so nothing else is ever read from disk.
     """
-    from fast_cwdm_tpu.data.loader import iter_items
+    from fast_cwdm_tpu.data.loader import iter_items, shard_order_rows
 
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     if rows is not None:
-        start, stop = rows
-        if not (0 <= start < stop <= batch_size):
-            raise ValueError(f"rows {rows} outside batch [0, {batch_size})")
         if not drop_last:
             # a ragged global tail cannot shard evenly across processes
             # (some would own rows that don't exist and stall the
             # collective batch assembly)
             raise ValueError("rows= requires drop_last=True")
-        n_full = len(order) // batch_size
-        order = (
-            order[: n_full * batch_size]
-            .reshape(n_full, batch_size)[:, start:stop]
-            .reshape(-1)
-        )
-        batch_size = stop - start
+        order, batch_size = shard_order_rows(order, batch_size, rows)
     items = iter_items(dataset, order, num_workers)
     batch: list[dict] = []
     for item in items:

@@ -108,6 +108,31 @@ class _PermutedView:
         return self.dataset[int(self.order[i])]
 
 
+def shard_order_rows(
+    order: np.ndarray, batch_size: int, rows: tuple[int, int]
+) -> tuple[np.ndarray, int]:
+    """Restrict a global sample ``order`` to this process's rows of every
+    ``batch_size``-row global batch.
+
+    The multi-host input contract (`parallel.mesh.local_batch_rows`):
+    every process builds the same seeded permutation, but decodes only
+    rows ``[start, stop)`` of each global batch — the rows its devices
+    own. Ragged global tails are dropped (they cannot shard evenly across
+    processes). Returns ``(local_order, local_batch_size)``. Shared by
+    the BraTS and LIDC training input paths.
+    """
+    start, stop = rows
+    if not (0 <= start < stop <= batch_size):
+        raise ValueError(f"rows {rows} outside batch [0, {batch_size})")
+    n_full = len(order) // batch_size
+    local = (
+        order[: n_full * batch_size]
+        .reshape(n_full, batch_size)[:, start:stop]
+        .reshape(-1)
+    )
+    return local, stop - start
+
+
 def iter_items(dataset, order, num_workers: int = 0) -> Iterator:
     """Yield ``dataset`` items in ``order`` — on a decode thread pool when
     ``num_workers > 0`` — with an output sequence identical to the serial

@@ -167,8 +167,10 @@ def create_model(
     `train_util.py:384-394`) maps to its TPU-native equivalent, bfloat16
     compute, when no explicit ``dtype`` is given — it is honored, not
     silently ignored. ``dtype`` accepts jnp dtypes or the strings
-    "bfloat16"/"float32" (CLI flag form); "float32"/None both mean
-    follow-the-input (float32 in every CLI path).
+    "bfloat16"/"float32" (CLI flag form). None means follow-the-input
+    (float32 in every CLI path) unless ``use_fp16`` is stored in the
+    config; an explicit "float32" forces fp32 even then (`--dtype
+    float32` must win over a checkpoint's use_fp16=True).
     """
     import jax.numpy as jnp
 
@@ -177,7 +179,10 @@ def create_model(
             dtype = {
                 "": None,
                 "none": None,
-                "float32": None,  # inputs are f32 → identical to fp32 compute
+                # explicit jnp.float32 (not None): suppresses the use_fp16
+                # fallback below; the model treats it identically to
+                # follow-the-input since every CLI feeds f32 inputs
+                "float32": jnp.float32,
                 "bfloat16": jnp.bfloat16,
             }[dtype.lower()]
         except KeyError:

@@ -46,23 +46,33 @@ def setup_distributed() -> None:
     """
     import os
 
-    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-        "COORDINATOR_ADDRESS"
-    )
+    jax_coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    generic_coord = os.environ.get("COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
-    manual = [coord, nproc, pid]
-    if any(v is not None for v in manual) and not all(
-        v is not None for v in manual
-    ):
-        # a partial manual config would fall into auto-detect and die with
-        # an unrelated cluster-detection error (or hang at rendezvous)
-        raise RuntimeError(
-            "manual jax.distributed launch needs ALL of "
-            "JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES and "
-            f"JAX_PROCESS_ID (got coordinator={coord!r}, "
-            f"num_processes={nproc!r}, process_id={pid!r})"
+    coord = jax_coord or generic_coord
+    if jax_coord or nproc or pid:
+        # any JAX_* var engages the manual contract; a partial config
+        # would fall into auto-detect and die with an unrelated
+        # cluster-detection error (or hang at rendezvous)
+        if not (coord and nproc and pid):
+            raise RuntimeError(
+                "manual jax.distributed launch needs ALL of "
+                "JAX_COORDINATOR_ADDRESS (or COORDINATOR_ADDRESS), "
+                "JAX_NUM_PROCESSES and JAX_PROCESS_ID (got "
+                f"coordinator={coord!r}, num_processes={nproc!r}, "
+                f"process_id={pid!r})"
+            )
+    elif generic_coord:
+        # a bare generic COORDINATOR_ADDRESS is often exported by outer
+        # launchers for their own rendezvous — don't treat it as (a broken
+        # half of) OUR manual contract; fall through to auto-detection
+        print(
+            f"[DIST] COORDINATOR_ADDRESS={generic_coord!r} set without "
+            "JAX_NUM_PROCESSES/JAX_PROCESS_ID — ignoring it and relying "
+            "on managed-cluster auto-detection"
         )
+        coord = None
     if coord is not None:
         try:
             jax.distributed.initialize(

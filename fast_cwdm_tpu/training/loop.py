@@ -313,8 +313,16 @@ class TrainLoop:
 
             step += 1
 
-            if step % self.log_interval == 0:
+            # one metric fetch per step even when log and save coincide —
+            # on multi-host each fetch is a cross-process allgather
+            m = None
+            if (
+                step % self.log_interval == 0
+                or step % self.save_interval == 0
+            ):
                 m = self._fetch_metrics(last_metrics)
+
+            if step % self.log_interval == 0:
                 loss = float(m["loss"])
                 if not np.isfinite(loss):
                     # failure detection (`train_util.py:377-383` warns or
@@ -381,7 +389,6 @@ class TrainLoop:
 
             if step % self.save_interval == 0:
                 t3 = time.time()
-                m = self._fetch_metrics(last_metrics)
                 loss = float(m["loss"])
                 self.save_if_best(loss, step)
                 t_save += time.time() - t3

@@ -356,6 +356,8 @@ def test_complete_dataset_shard_selection(tmp_path):
     p = cd.create_argparser()
     assert p.parse_args(["--input_dir", "x", "--output_dir", "y",
                          "--checkpoint_dir", "z", "--shard", "1/2"]).shard == "1/2"
-    with pytest.raises(SystemExit):
-        cd.main(["--input_dir", str(root), "--output_dir", str(tmp_path / "o"),
-                 "--checkpoint_dir", str(tmp_path), "--shard", "2/2"])
+    for bad in ("2/2", "3/2", "-1/2", "ab/2", "1"):
+        with pytest.raises(SystemExit):
+            cd.main(["--input_dir", str(root),
+                     "--output_dir", str(tmp_path / "o"),
+                     "--checkpoint_dir", str(tmp_path), "--shard", bad])

@@ -263,11 +263,18 @@ class TestFactory:
         assert create_model(16, 8, 1, dtype="bfloat16", **kw).dtype == (
             jnp.bfloat16
         )
-        assert create_model(16, 8, 1, dtype="float32", **kw).dtype is None
+        assert create_model(16, 8, 1, dtype="float32", **kw).dtype == (
+            jnp.float32
+        )
         assert create_model(16, 8, 1, dtype="", **kw).dtype is None
         assert create_model(16, 8, 1, use_fp16=True, **kw).dtype == (
             jnp.bfloat16
         )
+        # an explicit --dtype float32 beats a checkpoint's use_fp16=True
+        # (the flag is a runtime choice, never read from the checkpoint)
+        assert create_model(
+            16, 8, 1, use_fp16=True, dtype="float32", **kw
+        ).dtype == jnp.float32
         with pytest.raises(ValueError, match="dtype"):
             create_model(16, 8, 1, dtype="fp16", **kw)
         model, _ = common.build_model_and_diffusion(

@@ -111,6 +111,74 @@ def test_sharded_step_matches_single_device(setup, data, sp):
     )
 
 
+class TestSetupDistributedEnvRouting:
+    """Env-var routing of `setup_distributed` (no real cluster needed —
+    `jax.distributed.initialize` is stubbed)."""
+
+    ENV = (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "JAX_NUM_PROCESSES", "JAX_PROCESS_ID",
+        "SLURM_NTASKS", "OMPI_MCA_orte_hnp_uri",
+        "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+    )
+
+    @pytest.fixture()
+    def clean(self, monkeypatch):
+        from fast_cwdm_tpu.parallel.mesh import setup_distributed
+
+        for k in self.ENV:
+            monkeypatch.delenv(k, raising=False)
+        calls = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda *a, **kw: calls.append(kw),
+        )
+        return setup_distributed, calls, monkeypatch
+
+    def test_full_manual_launch(self, clean):
+        setup, calls, mp = clean
+        mp.setenv("JAX_COORDINATOR_ADDRESS", "h:1234")
+        mp.setenv("JAX_NUM_PROCESSES", "2")
+        mp.setenv("JAX_PROCESS_ID", "1")
+        setup()
+        assert calls == [dict(
+            coordinator_address="h:1234", num_processes=2, process_id=1
+        )]
+
+    def test_generic_coord_with_full_contract(self, clean):
+        # COORDINATOR_ADDRESS (un-namespaced) + both JAX_* vars is a valid
+        # manual launch — the coordinator may come from either env name
+        setup, calls, mp = clean
+        mp.setenv("COORDINATOR_ADDRESS", "h:1234")
+        mp.setenv("JAX_NUM_PROCESSES", "2")
+        mp.setenv("JAX_PROCESS_ID", "0")
+        setup()
+        assert calls and calls[0]["coordinator_address"] == "h:1234"
+
+    def test_partial_manual_config_is_fatal(self, clean):
+        setup, calls, mp = clean
+        mp.setenv("JAX_NUM_PROCESSES", "2")
+        with pytest.raises(RuntimeError, match="needs ALL"):
+            setup()
+        mp.setenv("JAX_COORDINATOR_ADDRESS", "h:1234")
+        with pytest.raises(RuntimeError, match="needs ALL"):
+            setup()
+        assert not calls
+
+    def test_stray_generic_coordinator_is_ignored(self, clean):
+        # an outer launcher exporting COORDINATOR_ADDRESS for its own
+        # rendezvous must not abort (or misconfigure) our startup
+        setup, calls, mp = clean
+        mp.setenv("COORDINATOR_ADDRESS", "h:9999")
+        setup()  # no managed markers either → single-process no-op
+        assert not calls
+
+    def test_unset_is_single_process_noop(self, clean):
+        setup, calls, _ = clean
+        setup()
+        assert not calls
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
 
