@@ -208,14 +208,29 @@ def iterate_batches(
             # collective batch assembly)
             raise ValueError("rows= requires drop_last=True")
         order, batch_size = shard_order_rows(order, batch_size, rows)
+    def collate(batch: list[dict]) -> dict[str, np.ndarray]:
+        # an incomplete case yields a (1,)-shaped zero placeholder for its
+        # missing modality (`bratsloader.py:51-53`); stacking that with
+        # real volumes would die with an opaque shape error, so name the
+        # offending case/modality instead (the reference's DataLoader
+        # crashes the same way, uninformatively).
+        for b in batch:
+            if b.get("missing", "none") in keys:
+                where = b.get("filedict") or b.get("subj") or "?"
+                raise ValueError(
+                    f"case is missing modality {b['missing']!r} but the "
+                    f"batch collates keys {tuple(keys)} — use mode='auto' "
+                    f"pipelines (which read 'missing' per case) or drop "
+                    f"the incomplete case; offending case files: {where}"
+                )
+        return {k: np.stack([b[k] for b in batch]) for k in keys}
+
     items = iter_items(dataset, order, num_workers)
     batch: list[dict] = []
     for item in items:
         batch.append(item)
         if len(batch) == batch_size:
-            yield {
-                k: np.stack([b[k] for b in batch]) for k in keys
-            }
+            yield collate(batch)
             batch = []
     if batch and not drop_last:
-        yield {k: np.stack([b[k] for b in batch]) for k in keys}
+        yield collate(batch)

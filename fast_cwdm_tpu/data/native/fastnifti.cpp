@@ -13,6 +13,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC fastnifti.cpp -lz -o libfastnifti.so
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -70,6 +71,11 @@ template <typename T>
 void convert(const unsigned char* src, float* dst, long n, float slope,
              float inter) {
   const T* s = reinterpret_cast<const T*>(src);
+  // NIfTI-1: scl_slope of 0 OR NaN means "no scaling" (nibabel and the
+  // Python fallback in ../nifti.py both skip it); a NaN scl_inter is
+  // likewise ignored. Without this a NaN slope would NaN every voxel.
+  if (std::isnan(slope)) slope = 0.0f;
+  if (std::isnan(inter)) inter = 0.0f;
   if (slope != 0.0f && (slope != 1.0f || inter != 0.0f)) {
     for (long i = 0; i < n; ++i)
       dst[i] = static_cast<float>(s[i]) * slope + inter;
@@ -164,9 +170,10 @@ long fastnifti_load(const char* path, float* out, long capacity,
 // (x - min) / (max - min)).
 void fastnifti_clip_normalize(float* data, long n, double qlo, double qhi) {
   if (n <= 0) return;
+  // quantile() only permutes scratch (nth_element/min_element), never
+  // changes its multiset — one copy serves both quantile calls.
   std::vector<float> scratch(data, data + n);
   const float lo = quantile(&scratch, qlo);
-  scratch.assign(data, data + n);
   const float hi = quantile(&scratch, qhi);
   float mn = 3.4e38f, mx = -3.4e38f;
   for (long i = 0; i < n; ++i) {

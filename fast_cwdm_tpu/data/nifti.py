@@ -150,8 +150,11 @@ class Nifti1Image:
         if h is not None and h.scl_slope not in (0.0,) and not np.isnan(
             h.scl_slope
         ):
-            if h.scl_slope != 1.0 or h.scl_inter != 0.0:
-                data = data * h.scl_slope + h.scl_inter
+            # NaN scl_inter means "no offset" (nibabel semantics); the
+            # native decoder (native/fastnifti.cpp convert()) matches.
+            inter = 0.0 if np.isnan(h.scl_inter) else h.scl_inter
+            if h.scl_slope != 1.0 or inter != 0.0:
+                data = data * h.scl_slope + inter
         return data
 
 

@@ -7,9 +7,14 @@ import math
 import jax.numpy as jnp
 
 
-def mean_flat(tensor):
-    """Mean over all non-batch dimensions (`nn.py:86-90`)."""
-    return tensor.mean(axis=tuple(range(1, tensor.ndim)))
+from ..models.nn import mean_flat  # single definition (`nn.py:86-90`)
+
+__all__ = [
+    "mean_flat",
+    "normal_kl",
+    "approx_standard_normal_cdf",
+    "discretized_gaussian_log_likelihood",
+]
 
 
 def normal_kl(mean1, logvar1, mean2, logvar2):
@@ -43,8 +48,8 @@ def discretized_gaussian_log_likelihood(x, *, means, log_scales):
     cdf_plus = approx_standard_normal_cdf(plus_in)
     min_in = inv_stdv * (centered_x - 1.0 / 255.0)
     cdf_min = approx_standard_normal_cdf(min_in)
-    log_cdf_plus = jnp.log(jnp.clip(cdf_plus, a_min=1e-12))
-    log_one_minus_cdf_min = jnp.log(jnp.clip(1.0 - cdf_min, a_min=1e-12))
+    log_cdf_plus = jnp.log(jnp.clip(cdf_plus, 1e-12))
+    log_one_minus_cdf_min = jnp.log(jnp.clip(1.0 - cdf_min, 1e-12))
     cdf_delta = cdf_plus - cdf_min
     log_probs = jnp.where(
         x < -0.999,
@@ -52,7 +57,7 @@ def discretized_gaussian_log_likelihood(x, *, means, log_scales):
         jnp.where(
             x > 0.999,
             log_one_minus_cdf_min,
-            jnp.log(jnp.clip(cdf_delta, a_min=1e-12)),
+            jnp.log(jnp.clip(cdf_delta, 1e-12)),
         ),
     )
     return log_probs

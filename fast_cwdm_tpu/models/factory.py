@@ -195,8 +195,15 @@ def create_model(
     channel_mult = _parse_channel_mult(channel_mult, image_size)
     attention_ds = _attention_ds(attention_resolutions, image_size)
     if out_channels == 0:
-        out_channels = 2 * in_channels if learn_sigma else in_channels
+        # Deviation (documented): the reference doubles twice on the auto
+        # path — `script_util.py:240-241` sets 2*in_channels for
+        # learn_sigma, then the constructor call multiplies by 2 AGAIN
+        # (`script_util.py:248`), yielding 4*in_channels and a broken
+        # LEARNED_RANGE split. Auto means "data channels"; the single
+        # learn_sigma doubling below is the correct one.
+        out_channels = in_channels
     common = dict(
+        num_classes=(NUM_CLASSES if class_cond else None),
         image_size=image_size,
         in_channels=in_channels,
         model_channels=num_channels,
@@ -226,7 +233,6 @@ def create_model(
         # forward semantics than they were trained under
         return WavUNetModel(use_freq=True, ref_compat=True, **common)
     return UNetModel(
-        num_classes=(NUM_CLASSES if class_cond else None),
         conv_resample=True,
         # selective remat: with use_checkpoint, recompute only the
         # full-resolution blocks in the backward pass — deeper levels hold

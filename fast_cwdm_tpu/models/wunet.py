@@ -203,6 +203,12 @@ class WavUNetModel(nn.Module):
     channel_mult: Sequence[int] = (1, 2, 4, 8)
     conv_resample: bool = True
     dims: int = 3
+    # Deviation (documented): the reference's WavUNetModel advertises
+    # class conditioning (`wunet.py:425`) and stores num_classes
+    # (`wunet.py:455`) but never builds a label embedding and its forward
+    # takes no labels (`wunet.py:734`) — the flag is dead there. Here it is
+    # implemented per the docstring contract, matching UNetModel.
+    num_classes: int | None = None
     use_checkpoint: bool = False
     num_heads: int = 1
     num_head_channels: int = -1
@@ -250,7 +256,14 @@ class WavUNetModel(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x: jax.Array, timesteps: jax.Array, train: bool = False):
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        y: jax.Array | None = None,
+        train: bool = False,
+    ):
+        assert (y is not None) == (self.num_classes is not None)
         heads_up = (
             self.num_heads
             if self.num_heads_upsample == -1
@@ -261,6 +274,8 @@ class WavUNetModel(nn.Module):
             timestep_embedding(timesteps, self.model_channels)
         )
         emb = nn.Dense(ted, name="time_embed_2")(nn.silu(emb))
+        if self.num_classes is not None:
+            emb = emb + nn.Embed(self.num_classes, ted, name="label_emb")(y)
         emb = emb.astype(self.dtype or x.dtype)
 
         h = conv_nd(

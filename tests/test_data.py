@@ -145,6 +145,17 @@ class TestLoader:
         assert batches[0]["t1n"].shape == (2, 8, 8, 160, 1)
         assert batches[1]["t1n"].shape == (1, 8, 8, 160, 1)
 
+    def test_iterate_batches_names_incomplete_case(self, tmp_path):
+        """An incomplete case in a train-mode batch raises an error that
+        names the missing modality instead of an opaque np.stack shape
+        mismatch (the reference's DataLoader crashes uninformatively)."""
+        root = str(tmp_path / "data")
+        _make_case(os.path.join(root, "00000"), ["t1n", "t1c", "t2w", "t2f"])
+        _make_case(os.path.join(root, "00001"), ["t1n", "t2w", "t2f"])
+        ds = BRATSVolumes(root)
+        with pytest.raises(ValueError, match="missing modality 't1c'"):
+            list(iterate_batches(ds, 2, drop_last=False))
+
     def test_prefetch_to_device(self):
         batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(5)]
         out = list(prefetch_to_device(iter(batches), size=2))

@@ -20,6 +20,7 @@ from fast_cwdm_tpu.models import (
     model_and_diffusion_defaults,
     timestep_embedding,
 )
+from fast_cwdm_tpu.models.factory import NUM_CLASSES
 
 TINY = dict(
     image_size=16,
@@ -293,12 +294,42 @@ class TestFactory:
         assert out.dtype == jnp.float32  # head output cast back
 
     def test_out_channels_auto(self):
+        # single learn_sigma doubling — documented deviation: the reference
+        # quadruples (auto sets 2*in at script_util.py:240-241, then the
+        # constructor call doubles again at :248), breaking LEARNED_RANGE
         m = create_model(64, 32, 1, channel_mult="1,2", in_channels=3,
                          learn_sigma=True, attention_resolutions="")
-        assert m.out_channels == 6 * 2  # (2*in) * 2 — reference double-scaling
+        assert m.out_channels == 6
         m = create_model(64, 32, 1, channel_mult="1,2", in_channels=3,
                          attention_resolutions="")
         assert m.out_channels == 3
+        # explicit out_channels still gets the learn_sigma doubling
+        m = create_model(64, 32, 1, channel_mult="1,2", in_channels=3,
+                         out_channels=5, learn_sigma=True,
+                         attention_resolutions="")
+        assert m.out_channels == 10
+
+    def test_class_cond_wunet(self):
+        # the reference's WavUNet advertises class conditioning but never
+        # implements it (wunet.py:425,455,734) — here the flag is real
+        # constant-width mult: factory wunets are ref_compat=True, whose
+        # aliased decoder double-run only executes at constant channel width
+        m = create_model(16, 16, 1, channel_mult="1,1", in_channels=8,
+                         out_channels=8, attention_resolutions="",
+                         use_freq=True, class_cond=True, num_groups=8)
+        assert isinstance(m, WavUNetModel) and m.num_classes == NUM_CLASSES
+        x = jnp.zeros((1, 16, 16, 16, 8))
+        t = jnp.zeros((1,), jnp.int32)
+        y = jnp.zeros((1,), jnp.int32)
+        params = m.init(jax.random.PRNGKey(0), x, t, y)
+        assert "label_emb" in params["params"]
+        assert m.apply(params, x, t, y).shape == (1, 16, 16, 16, 8)
+        # unconditional construction has no label params and takes no y
+        m0 = create_model(16, 16, 1, channel_mult="1,1", in_channels=8,
+                          out_channels=8, attention_resolutions="",
+                          use_freq=True, num_groups=8)
+        p0 = m0.init(jax.random.PRNGKey(0), x, t)
+        assert "label_emb" not in p0["params"]
 
     def test_use_freq_dispatch(self):
         m = create_model(64, 32, 1, channel_mult="1,2", in_channels=8,

@@ -50,6 +50,43 @@ def test_int16_decode(tmp_path):
     np.testing.assert_array_equal(nvol, data.astype(np.float32))
 
 
+def test_nan_scl_slope_means_no_scaling(tmp_path):
+    """NIfTI-1: scl_slope of NaN (written by many tools instead of 0)
+    means "no scaling" — nibabel semantics. Regression: the native
+    convert() once NaN'd every voxel, which then silently zeroed the
+    volume in clip_normalize."""
+    from fast_cwdm_tpu.data import load
+
+    data = np.arange(216, dtype=np.float32).reshape(6, 6, 6)
+    p = str(tmp_path / "nanslope.nii")
+    save(Nifti1Image(data, np.eye(4)), p)
+    with open(p, "r+b") as f:  # patch scl_slope/scl_inter (offset 112/116)
+        f.seek(112)
+        f.write(np.array([np.nan, np.nan], dtype="<f4").tobytes())
+    nvol, _ = native.load_volume(p)
+    np.testing.assert_array_equal(nvol, data)
+    np.testing.assert_array_equal(
+        load(p).get_fdata().astype(np.float32), data
+    )
+
+
+def test_nan_scl_inter_ignored(tmp_path):
+    """A valid slope with NaN inter scales without the offset, both paths."""
+    from fast_cwdm_tpu.data import load
+
+    data = np.arange(216, dtype=np.float32).reshape(6, 6, 6)
+    p = str(tmp_path / "naninter.nii")
+    save(Nifti1Image(data, np.eye(4)), p)
+    with open(p, "r+b") as f:
+        f.seek(112)
+        f.write(np.array([2.0, np.nan], dtype="<f4").tobytes())
+    nvol, _ = native.load_volume(p)
+    np.testing.assert_array_equal(nvol, data * 2.0)
+    np.testing.assert_array_equal(
+        load(p).get_fdata().astype(np.float32), data * 2.0
+    )
+
+
 def test_load_preprocessed_native_vs_python(volume_file, monkeypatch):
     p, _, _ = volume_file
     nat = load_preprocessed(p)
