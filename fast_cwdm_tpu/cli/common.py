@@ -206,6 +206,65 @@ def prepare_condition(
     return _COND_JIT[wavelet](conds)
 
 
+def load_best_synthesis(
+    checkpoint_dir: str,
+    contr: str,
+    *,
+    dataset: str = "brats",
+    base_cfg: dict | None = None,
+    dtype: str | None = None,
+    use_ema: bool = True,
+    mesh=None,
+    tag: str = "synth",
+):
+    """Discover the BEST checkpoint for ``contr`` and build its jitted
+    synthesis fn: find → merge the checkpoint's stored config → construct
+    model/diffusion → load params → `make_synthesis_fn`.
+
+    One definition for sample_auto and complete_dataset (their per-script
+    copies had already drifted — exactly the duplication this module
+    exists to remove). ``base_cfg`` is the starting flag bundle (CLI args
+    for sample_auto); ``None`` means the run.sh production preset. The
+    stored config wins over the base for every model/diffusion key EXCEPT
+    ``dtype``: compute dtype is a runtime choice (params are always f32),
+    so only an explicit ``dtype`` argument overrides the base default.
+    """
+    from fast_cwdm_tpu.models import model_and_diffusion_defaults
+
+    found = ckpt.find_best_checkpoint(checkpoint_dir, contr, dataset)
+    if found is None:
+        raise FileNotFoundError(
+            f"no BEST checkpoint for {contr} in {checkpoint_dir}"
+        )
+    path, schedule, steps = found
+    # config rides with the checkpoint (unlike the reference, which
+    # re-parses hyperparameters from the FILENAME,
+    # `complete_dataset.py:107-127`)
+    stored = ckpt.load_checkpoint_config(path) or {}
+    cfg = (
+        dict(base_cfg)
+        if base_cfg is not None
+        else production_config(
+            sample_schedule=schedule, diffusion_steps=steps
+        )
+    )
+    schema = set(model_and_diffusion_defaults())
+    cfg.update(
+        {k: v for k, v in stored.items() if k in schema and k != "dtype"}
+    )
+    if dtype:
+        cfg["dtype"] = dtype
+    cfg.update(mode="i2i", sample_schedule=schedule, diffusion_steps=steps)
+    model, diffusion = build_model_and_diffusion(cfg)
+    params = load_params(path, model, use_ema=use_ema)
+    fn = make_synthesis_fn(model, params, diffusion, mesh=mesh)
+    print(
+        f"[{tag}] {contr}: {os.path.basename(path)} "
+        f"({schedule}, {steps} steps)"
+    )
+    return fn
+
+
 def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
                       mesh=None, chunk: int | str | None = "auto",
                       sampler: str = "ddpm"):
@@ -233,9 +292,10 @@ def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
     if sampler not in ("ddpm", "ddim"):
         raise ValueError(f"sampler must be ddpm or ddim, got {sampler!r}")
     if chunk == "auto":
+        # BOTH samplers chunk long chains: without a respacing, a DDIM run
+        # still walks all num_timesteps steps, and a monolithic >200-step
+        # scan program is exactly the shape that faults the device here
         chunk = 100 if diffusion.num_timesteps > 200 else None
-    if sampler == "ddim":
-        chunk = None  # the DDIM chain is short by construction
 
     @jax.jit
     def postprocess(sample, mask_vol):
@@ -267,7 +327,12 @@ def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
             def model_fn(x, t):
                 return model.apply({"params": params}, x, t)
 
-            return diffusion.scan_steps(model_fn, img, ts_c, keys_c, cond=cond)
+            scan = (
+                diffusion.ddim_scan_steps
+                if sampler == "ddim"
+                else diffusion.scan_steps
+            )
+            return scan(model_fn, img, ts_c, keys_c, cond=cond)
 
         def synth(params, cond, mask_vol, key):
             t_total = diffusion.num_timesteps

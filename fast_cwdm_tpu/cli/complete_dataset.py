@@ -72,7 +72,6 @@ def main(argv=None) -> None:
         unprocess_volume,
     )
     from fast_cwdm_tpu.diffusion.gaussian import condition_order
-    from fast_cwdm_tpu.training.checkpoints import find_best_checkpoint
 
     common.enable_compile_cache()
     args = create_argparser().parse_args(argv)
@@ -81,45 +80,15 @@ def main(argv=None) -> None:
 
     def get_synth(contr: str):
         if contr not in synth_cache:
-            found = find_best_checkpoint(
-                args.checkpoint_dir, contr, args.dataset
-            )
-            if found is None:
-                raise FileNotFoundError(
-                    f"no BEST checkpoint for {contr} in {args.checkpoint_dir}"
-                )
-            path, schedule, steps = found
-            # config rides with the checkpoint (unlike the reference, which
-            # re-parses hyperparameters from the FILENAME,
-            # `complete_dataset.py:107-127`)
-            from fast_cwdm_tpu.models import model_and_diffusion_defaults
-            from fast_cwdm_tpu.training.checkpoints import (
-                load_checkpoint_config,
-            )
-
-            stored = load_checkpoint_config(path) or {}
-            cfg = common.production_config(
-                sample_schedule=schedule, diffusion_steps=steps
-            )
-            schema = set(model_and_diffusion_defaults())
-            # compute dtype is a runtime choice (params are always f32),
-            # not a model property: the stored config never overrides the
-            # production bf16 default, only the --dtype flag does
-            cfg.update(
-                {k: v for k, v in stored.items()
-                 if k in schema and k != "dtype"}
-            )
-            if args.dtype:
-                cfg["dtype"] = args.dtype
-            cfg["mode"] = "i2i"
-            model, diffusion = common.build_model_and_diffusion(cfg)
-            params = common.load_params(path, model, use_ema=args.use_ema)
-            synth_cache[contr] = common.make_synthesis_fn(
-                model, params, diffusion
-            )
-            print(
-                f"[complete] {contr}: {os.path.basename(path)} "
-                f"({schedule}, {steps} steps)"
+            # base_cfg=None → the run.sh production preset; the
+            # checkpoint's stored config wins for model/diffusion keys
+            synth_cache[contr] = common.load_best_synthesis(
+                args.checkpoint_dir,
+                contr,
+                dataset=args.dataset,
+                dtype=args.dtype,
+                use_ema=args.use_ema,
+                tag="complete",
             )
         return synth_cache[contr]
 

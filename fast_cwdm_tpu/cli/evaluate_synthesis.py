@@ -66,10 +66,20 @@ def ssim3d(
     k2: float = 0.03,
     win: int = 7,
 ) -> float:
-    """Mean 3D SSIM with a uniform window (scikit-image-compatible
-    formulation, implemented with numpy cumulative sums)."""
+    """Mean 3D SSIM, numerically matching
+    ``skimage.metrics.structural_similarity`` defaults (uniform ``win``
+    window, sample-covariance NP/(NP-1) correction, and the SSIM map
+    averaged only over the interior — cropped by (win-1)//2 per side, so
+    truncated border windows never bias the score). Implemented with numpy
+    cumulative sums (scikit-image is not shipped in this environment);
+    pinned against a brute-force sliding-window oracle in
+    tests/test_metrics.py."""
     a = a.astype(np.float64)
     b = b.astype(np.float64)
+    if min(a.shape) < win:
+        raise ValueError(
+            f"every side must be at least win={win}; got {a.shape}"
+        )
 
     def uniform_filter(x):
         out = x
@@ -91,15 +101,18 @@ def ssim3d(
 
     mu_a = uniform_filter(a)
     mu_b = uniform_filter(b)
-    saa = uniform_filter(a * a) - mu_a * mu_a
-    sbb = uniform_filter(b * b) - mu_b * mu_b
-    sab = uniform_filter(a * b) - mu_a * mu_b
+    # sample (not population) moments — skimage's use_sample_covariance
+    cov_norm = win**3 / (win**3 - 1.0)
+    saa = cov_norm * (uniform_filter(a * a) - mu_a * mu_a)
+    sbb = cov_norm * (uniform_filter(b * b) - mu_b * mu_b)
+    sab = cov_norm * (uniform_filter(a * b) - mu_a * mu_b)
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
     ssim_map = ((2 * mu_a * mu_b + c1) * (2 * sab + c2)) / (
         (mu_a**2 + mu_b**2 + c1) * (saa + sbb + c2)
     )
-    return float(ssim_map.mean())
+    pad = (win - 1) // 2  # mean over full-window positions only
+    return float(ssim_map[pad:-pad, pad:-pad, pad:-pad].mean())
 
 
 def evaluate_cases(sample_dir: str) -> dict:

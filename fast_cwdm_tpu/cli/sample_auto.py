@@ -65,7 +65,6 @@ def main(argv=None) -> None:
         unprocess_volume,
     )
     from fast_cwdm_tpu.diffusion.gaussian import condition_order
-    from fast_cwdm_tpu.training.checkpoints import find_best_checkpoint
 
     common.enable_compile_cache()
     args = create_argparser().parse_args(argv)
@@ -75,34 +74,21 @@ def main(argv=None) -> None:
     synth_cache: dict[str, tuple] = {}
 
     def get_synth(contr: str):
-        if contr in synth_cache:
-            return synth_cache[contr]
-        found = find_best_checkpoint(args.checkpoint_dir, contr, args.dataset)
-        if found is None:
-            raise FileNotFoundError(
-                f"no checkpoint for {contr} in {args.checkpoint_dir}"
+        if contr not in synth_cache:
+            # base = CLI flags; the checkpoint's stored config wins for
+            # model/diffusion keys, an explicit --dtype wins for dtype
+            synth_cache[contr] = common.load_best_synthesis(
+                args.checkpoint_dir,
+                contr,
+                dataset=args.dataset,
+                base_cfg=args_to_dict(
+                    args, model_and_diffusion_defaults().keys()
+                ),
+                dtype=args.dtype,
+                use_ema=args.use_ema,
+                tag="auto",
             )
-        path, schedule, steps = found
-        cfg = args_to_dict(args, model_and_diffusion_defaults().keys())
-        # prefer the config stored with the checkpoint over CLI flags
-        from fast_cwdm_tpu.training.checkpoints import load_checkpoint_config
-
-        stored = load_checkpoint_config(path) or {}
-        # compute dtype is a runtime choice (params are always f32), so
-        # the stored config never overrides the --dtype flag
-        cfg.update(
-            {k: v for k, v in stored.items() if k in cfg and k != "dtype"}
-        )
-        cfg.update(
-            mode="i2i", sample_schedule=schedule, diffusion_steps=steps
-        )
-        model, diffusion = common.build_model_and_diffusion(cfg)
-        params = common.load_params(path, model, use_ema=args.use_ema)
-        fn = common.make_synthesis_fn(model, params, diffusion)
-        print(f"[auto] {contr}: {os.path.basename(path)} "
-              f"({schedule}, {steps} steps)")
-        synth_cache[contr] = fn
-        return fn
+        return synth_cache[contr]
 
     ds = BRATSVolumes(args.data_dir, mode="auto")
     key = jax.random.PRNGKey(args.seed)

@@ -804,6 +804,36 @@ class GaussianDiffusion:
         )
         ts = jnp.arange(t_total - 1, -1, -1)
         keys = jax.random.split(key_loop, t_total)
+        return self.ddim_scan_steps(
+            model_fn,
+            img,
+            ts,
+            keys,
+            cond=cond,
+            clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+            eta=eta,
+            cond_fn=cond_fn,
+            model_kwargs=model_kwargs,
+        )
+
+    def ddim_scan_steps(
+        self,
+        model_fn,
+        img: jax.Array,
+        ts: jax.Array,
+        keys: jax.Array,
+        *,
+        cond=None,
+        clip_denoised=True,
+        denoised_fn=None,
+        eta: float = 0.0,
+        cond_fn=None,
+        model_kwargs=None,
+    ) -> jax.Array:
+        """DDIM counterpart of `scan_steps`: scan an arbitrary timestep
+        segment, so callers can chunk long DDIM chains into separately
+        dispatched device programs with params as jit arguments."""
 
         def step(carry, inp):
             t_scalar, k = inp

@@ -41,16 +41,29 @@ def _infinite(iterable_factory: Callable[[], Iterable]) -> Iterator:
     restart, without the exception control flow). Raises on an empty epoch
     — a one-shot iterator passed instead of a factory would otherwise
     busy-spin forever."""
+    epoch = 0
     while True:
         count = 0
         for item in iterable_factory():
             count += 1
             yield item
         if count == 0:
+            if epoch == 0:
+                # a proper factory can legitimately produce zero batches:
+                # fewer usable cases than one (global) batch under
+                # drop_last, or an empty/mis-pointed data dir
+                raise ValueError(
+                    "data source yielded no batches in its first epoch — "
+                    "is the dataset empty, or smaller than one batch "
+                    "(drop_last discards the ragged tail; multi-host "
+                    "sharding needs a full GLOBAL batch)?"
+                )
             raise ValueError(
-                "data source yielded no items — pass a CALLABLE factory "
-                "(a bare iterator is exhausted after its first epoch)"
+                "data source yielded no items after a non-empty epoch — "
+                "pass a CALLABLE factory (a bare iterator is exhausted "
+                "after its first epoch)"
             )
+        epoch += 1
 
 
 class TrainLoop:
@@ -203,25 +216,52 @@ class TrainLoop:
         # is a fallback for reference-style names without a payload step)
         if int(loaded.get("step", 0) or 0) > 0:
             self.resume_step = int(loaded["step"])
-        # both backend formats may coexist after a backend switch — load
-        # the NEWEST opt state, not a fixed-extension preference (a stale
-        # .ckpt would silently restore old Adam moments)
-        candidates = [
-            p
-            for p in (
-                os.path.join(
-                    os.path.dirname(path), f"opt_best_{self.contr}{ext}"
+        # optimizer state: a step-stamped (preemption) checkpoint has a
+        # matching opt{step:06d} written by save(); prefer it — pairing
+        # step-N params with the LAST BEST save's Adam moments (possibly
+        # tens of thousands of steps stale, with the anneal count jumped
+        # back) spikes the LR onto mismatched moments. Fall back to
+        # opt_best only with a warning. Both backend formats may coexist
+        # after a backend switch — load the NEWEST, not a fixed-extension
+        # preference (a stale .ckpt would silently restore old moments).
+        ckpt_dir = os.path.dirname(path)
+        stems = []
+        # a BEST checkpoint's matching state IS opt_best (written together)
+        is_best = "_BEST_" in os.path.basename(path)
+        if self.resume_step and not is_best:
+            stems.append(f"opt{self.resume_step:06d}")
+        stems.append(f"opt_best_{self.contr}")
+        opt_path = stale_fallback = None
+        for stem in stems:
+            candidates = [
+                p
+                for p in (
+                    os.path.join(ckpt_dir, f"{stem}{ext}")
+                    for ext in (".ckpt", ".orbax")
                 )
-                for ext in (".ckpt", ".orbax")
-            )
-            if os.path.exists(p)
-        ]
-        if candidates:
-            opt_path = max(candidates, key=os.path.getmtime)
+                if os.path.exists(p)
+            ]
+            if candidates:
+                opt_path = max(candidates, key=os.path.getmtime)
+                stale_fallback = stem.startswith("opt_best") and len(stems) > 1
+                break
+        if opt_path:
+            if stale_fallback:
+                logger.log(
+                    f"WARNING: no opt{self.resume_step:06d} next to {path}; "
+                    f"restoring {os.path.basename(opt_path)} — Adam moments "
+                    "and the LR-anneal count come from the last BEST save, "
+                    "not from the resumed step"
+                )
             opt = ckpt.load_checkpoint(
                 opt_path, {"opt_state": self.state.opt_state}
             )
             self.state = self.state.replace(opt_state=opt["opt_state"])
+        else:
+            logger.log(
+                f"WARNING: no optimizer state found next to {path}; "
+                "resuming with a FRESH optimizer (Adam moments reset)"
+            )
         logger.log(f"resumed from {path} at step {loaded['step']}")
         self._pending_resume = None
 
@@ -314,13 +354,23 @@ class TrainLoop:
             step += 1
 
             # one metric fetch per step even when log and save coincide —
-            # on multi-host each fetch is a cross-process allgather
+            # on multi-host each fetch is a cross-process allgather. The
+            # image-panel leaves (sample_slice/subband_slices, ~2 MB per
+            # sample) ride along ONLY on image-log steps; save-only and
+            # odd log windows fetch just the scalar/vector metrics.
             m = None
             if (
                 step % self.log_interval == 0
                 or step % self.save_interval == 0
             ):
-                m = self._fetch_metrics(last_metrics)
+                want = last_metrics
+                if step % (2 * self.log_interval) != 0:
+                    want = {
+                        k: v
+                        for k, v in last_metrics.items()
+                        if k not in ("sample_slice", "subband_slices")
+                    }
+                m = self._fetch_metrics(want)
 
             if step % self.log_interval == 0:
                 loss = float(m["loss"])
@@ -372,7 +422,12 @@ class TrainLoop:
                                 batch[mod], "ndim", 0
                             ) != 5:
                                 continue
-                            sl = jax.device_get(
+                            # row 0 lives on process 0's devices only when
+                            # the batch is data-sharded across processes —
+                            # fetch through the collective path (a plain
+                            # device_get raises on non-addressable shards;
+                            # all ranks reach this at the same steps)
+                            sl = self._fetch_metrics(
                                 batch[mod][0, :, :, batch[mod].shape[3] // 2, 0]
                             )
                             imgs[f"source/{mod}"] = visualize(np.asarray(sl))
@@ -449,7 +504,9 @@ class TrainLoop:
         return saved
 
     def save(self, step: int) -> None:
-        """Legacy step-stamped save (`train_util.py:476-514`)."""
+        """Legacy step-stamped save (`train_util.py:476-514`), including the
+        ``opt{step:06d}`` optimizer blob (`train_util.py:505-513`) so a
+        preemption resume restores the true Adam moments + anneal count."""
         if jax.process_index() != 0:
             return  # rank 0 owns checkpoint files (see save_if_best)
         name = ckpt.step_checkpoint_name(
@@ -467,4 +524,10 @@ class TrainLoop:
                 "step": step,
             },
             config=self.config,
+        )
+        ckpt.save_checkpoint(
+            os.path.join(
+                self.checkpoint_dir, f"opt{step:06d}{ckpt.checkpoint_ext()}"
+            ),
+            {"opt_state": self.state.opt_state},
         )

@@ -2,10 +2,19 @@
 
 The default framework format is single-file msgpack
 (`training/checkpoints.py`) — simple, dependency-light, and compatible with
-the reference's best-checkpoint naming. For large-scale multi-host training
-Orbax adds sharded, async, fault-tolerant checkpointing; this module wraps
-it behind the same payload convention. Import is gated so environments
-without orbax still work.
+the reference's best-checkpoint naming. Orbax adds sharded, async,
+fault-tolerant checkpointing; this module wraps it behind the same payload
+convention. Import is gated so environments without orbax still work.
+
+Multi-host contract: the framework's checkpoint layer is single-writer —
+`TrainLoop.save*` gates on rank 0 and payloads are host-replicated numpy
+(`checkpoints._to_host`). Orbax's default save is a COLLECTIVE (its first
+action is `sync_global_processes('Checkpointer:save_start')`, which every
+process must enter), so a rank-0-only call would deadlock the pod: rank 0
+blocks in the barrier, the other ranks block in the next train-step
+collective. `_mp_options()` therefore restricts the barrier set to the
+calling process (`active_processes={process_index}`), making every
+save/load here a local, barrier-free operation on any rank.
 """
 
 from __future__ import annotations
@@ -23,19 +32,33 @@ def available() -> bool:
         return False
 
 
-def save(path: str, payload: dict[str, Any]) -> None:
-    """Save a pytree payload to an Orbax checkpoint directory."""
+def _checkpointer():
+    """A StandardCheckpointer whose collectives span ONLY this process
+    (see module docstring — single-writer, host-replicated payloads)."""
+    import jax
     import orbax.checkpoint as ocp
 
-    with ocp.StandardCheckpointer() as ckptr:
+    if jax.process_count() > 1:
+        me = jax.process_index()
+        return ocp.StandardCheckpointer(
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me,
+                active_processes={me},
+                barrier_sync_key_prefix=f"fastcwdm_p{me}",
+            )
+        )
+    return ocp.StandardCheckpointer()
+
+
+def save(path: str, payload: dict[str, Any]) -> None:
+    """Save a pytree payload to an Orbax checkpoint directory."""
+    with _checkpointer() as ckptr:
         ckptr.save(os.path.abspath(path), payload, force=True)
 
 
 def load(path: str, template: dict[str, Any]) -> dict[str, Any]:
     """Restore a payload saved by :func:`save` using a matching template."""
-    import orbax.checkpoint as ocp
-
-    with ocp.StandardCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         return ckptr.restore(os.path.abspath(path), template)
 
 
@@ -44,9 +67,7 @@ def restore_any(path: str) -> dict[str, Any]:
 
     Used by the CLI loaders to discover how many EMA shadows a checkpoint
     carries without probing templates; tuples come back as lists."""
-    import orbax.checkpoint as ocp
-
-    with ocp.StandardCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         return ckptr.restore(os.path.abspath(path))
 
 

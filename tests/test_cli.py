@@ -263,6 +263,16 @@ def test_chunked_synthesis_matches_monolithic():
         model, params, diffusion, crop_z=16, chunk=3
     )(cond, mask, key)
     np.testing.assert_allclose(chunked, mono, atol=1e-6)
+    # DDIM chunks the same way (regression: "ddim is short by
+    # construction" once disabled chunking, so a full-length DDIM run
+    # executed the monolithic >200-step scan that faults the device)
+    mono_d = common.make_synthesis_fn(
+        model, params, diffusion, crop_z=16, chunk=None, sampler="ddim"
+    )(cond, mask, key)
+    chunked_d = common.make_synthesis_fn(
+        model, params, diffusion, crop_z=16, chunk=3, sampler="ddim"
+    )(cond, mask, key)
+    np.testing.assert_allclose(chunked_d, mono_d, atol=1e-6)
 
 
 def test_ddim_sampler_selection():

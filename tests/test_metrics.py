@@ -60,6 +60,43 @@ class TestPsnrSsim:
         s_big = ssim3d(a, np.clip(a + 0.3 * rng.standard_normal(a.shape), 0, 1))
         assert 1.0 > s_small > s_big > 0.0
 
+    def test_ssim_matches_skimage_formulation(self):
+        """Pin ssim3d against a brute-force sliding-window oracle that
+        implements skimage.metrics.structural_similarity's default math
+        literally: per full-window position, sample-covariance (ddof=1)
+        moments, SSIM formula, mean over the interior map (crop
+        (win-1)//2). Guards the NP/(NP-1) correction and the border crop —
+        quality numbers must be comparable with skimage-produced baselines."""
+        rng = np.random.default_rng(4)
+        a = rng.random((11, 10, 12))
+        b = np.clip(a + 0.15 * rng.standard_normal(a.shape), 0, 1)
+        win, dr = 7, 1.0
+        c1, c2 = (0.01 * dr) ** 2, (0.03 * dr) ** 2
+        pad = (win - 1) // 2
+        vals = []
+        for i in range(pad, a.shape[0] - pad):
+            for j in range(pad, a.shape[1] - pad):
+                for k in range(pad, a.shape[2] - pad):
+                    wa = a[i - pad:i + pad + 1, j - pad:j + pad + 1,
+                           k - pad:k + pad + 1].ravel()
+                    wb = b[i - pad:i + pad + 1, j - pad:j + pad + 1,
+                           k - pad:k + pad + 1].ravel()
+                    ua, ub = wa.mean(), wb.mean()
+                    va = wa.var(ddof=1)
+                    vb = wb.var(ddof=1)
+                    vab = ((wa - ua) * (wb - ub)).sum() / (wa.size - 1)
+                    vals.append(
+                        ((2 * ua * ub + c1) * (2 * vab + c2))
+                        / ((ua**2 + ub**2 + c1) * (va + vb + c2))
+                    )
+        np.testing.assert_allclose(ssim3d(a, b), np.mean(vals), rtol=1e-10)
+
+    def test_ssim_rejects_too_small_volume(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="win=7"):
+            ssim3d(np.zeros((6, 8, 8)), np.zeros((6, 8, 8)))
+
     def test_ssim_symmetric(self):
         rng = np.random.default_rng(3)
         a = rng.random((12, 12, 12))

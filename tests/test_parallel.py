@@ -439,16 +439,28 @@ print(f"DONE {rank} step={int(state.step)}", flush=True)
 """
 
 
-def test_two_process_train_loop(tmp_path):
+@pytest.mark.parametrize("backend", ["", "orbax"])
+def test_two_process_train_loop(tmp_path, backend):
     """Full multi-host training path, two REAL processes on a shared
     checkpoint dir: hybrid mesh, per-process input rows, global batch
     assembly, collective metric fetch (per-sample metrics span
     non-addressable shards — a plain device_get raises), and
-    rank-0-only checkpoint/ledger writes."""
+    rank-0-only checkpoint/ledger writes.
+
+    The orbax variant is a deadlock regression test: orbax's default save
+    is a collective every process must enter, so a rank-0-only save would
+    hang the pod unless orbax_io restricts the barrier set to the calling
+    process (orbax_io._checkpointer)."""
     import os
     import socket
     import subprocess
     import sys
+
+    if backend == "orbax":
+        from fast_cwdm_tpu.training import orbax_io
+
+        if not orbax_io.available():
+            pytest.skip("orbax not installed")
 
     script = tmp_path / "dist_train_child.py"
     script.write_text(_DIST_TRAIN_CHILD)
@@ -471,6 +483,7 @@ def test_two_process_train_loop(tmp_path):
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(rank),
             CKPT_DIR=str(ckdir),
+            FAST_CWDM_CKPT_BACKEND=backend,
         )
         procs.append(
             subprocess.Popen(
@@ -495,4 +508,5 @@ def test_two_process_train_loop(tmp_path):
     # rank 0 wrote the full best-checkpoint set exactly once
     files = sorted(os.listdir(ckdir))
     assert "best_losses.txt" in files, files
-    assert "brats_t1n_BEST_sampled_10.ckpt" in files, files
+    ext = ".orbax" if backend == "orbax" else ".ckpt"
+    assert f"brats_t1n_BEST_sampled_10{ext}" in files, files

@@ -481,6 +481,109 @@ class TestAsyncWriteFailure:
             ckpt.wait_for_pending_saves()
 
 
+class TestInfiniteIterator:
+    def test_empty_first_epoch_names_the_real_cause(self):
+        from fast_cwdm_tpu.training.loop import _infinite
+
+        with pytest.raises(ValueError, match="first epoch"):
+            next(_infinite(lambda: iter(())))
+
+    def test_exhausted_bare_iterator_detected(self):
+        from fast_cwdm_tpu.training.loop import _infinite
+
+        one_shot = iter([1, 2])
+        it = _infinite(lambda: one_shot)  # bare iterator, not a factory
+        assert [next(it), next(it)] == [1, 2]
+        with pytest.raises(ValueError, match="CALLABLE factory"):
+            next(it)
+
+
+class TestPreemptionResume:
+    def _loop_kwargs(self, setup, tmp_path, **over):
+        model, diffusion, batch, _ = setup
+
+        def data():
+            while True:
+                yield jax.tree.map(np.asarray, batch)
+
+        kw = dict(
+            model=model, diffusion=diffusion, data=data, batch_size=2,
+            lr=1e-4, log_interval=1000, save_interval=1000, mode="i2i",
+            contr="t1n", sample_schedule="sampled", diffusion_steps=10,
+            checkpoint_dir=str(tmp_path), lr_anneal_steps=2, seed=3,
+        )
+        kw.update(over)
+        return kw
+
+    def _resumed_state(self, setup, kw):
+        _, _, batch, _ = setup
+        loop = TrainLoop(**kw)
+        loop.state = loop._init_state(jax.tree.map(np.asarray, batch))
+        loop._apply_resume()
+        return loop
+
+    def test_step_save_writes_and_resume_restores_opt(
+        self, setup, tmp_path, capsys
+    ):
+        """The preemption (step-stamped) save writes opt{step:06d} and a
+        resume restores THOSE Adam moments — not the last BEST save's
+        (stale moments + a jumped-back anneal count spike the LR)."""
+        from fast_cwdm_tpu.utils import logger as flogger
+
+        flogger.configure()  # rebind stdout (capsys swaps it per test)
+        from fast_cwdm_tpu.training import checkpoints as ckpt
+
+        kw = self._loop_kwargs(setup, tmp_path)
+        loop = TrainLoop(**kw)
+        state = loop.run_loop()  # 2 steps, no periodic saves
+        step = int(state.step)
+        loop.save(step)
+        ckpt.wait_for_pending_saves()
+        files = os.listdir(tmp_path)
+        assert f"opt{step:06d}.ckpt" in files, files
+        step_file = next(
+            f for f in files
+            if parse_resume_step_from_filename(f) == step
+            and not f.startswith("opt") and f.endswith(".ckpt")
+        )
+        loop2 = self._resumed_state(
+            setup,
+            {**kw, "resume_checkpoint": str(tmp_path / step_file)},
+        )
+        assert loop2.resume_step == step
+        out = capsys.readouterr().out
+        assert "WARNING" not in out, out
+        for a, b in zip(
+            jax.tree.leaves(loop2.state.opt_state),
+            jax.tree.leaves(state.opt_state),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_missing_opt_blob_warns_fresh(self, setup, tmp_path, capsys):
+        from fast_cwdm_tpu.utils import logger as flogger
+
+        flogger.configure()  # rebind stdout (capsys swaps it per test)
+        from fast_cwdm_tpu.training import checkpoints as ckpt
+
+        kw = self._loop_kwargs(setup, tmp_path)
+        loop = TrainLoop(**kw)
+        state = loop.run_loop()
+        step = int(state.step)
+        loop.save(step)
+        ckpt.wait_for_pending_saves()
+        os.remove(tmp_path / f"opt{step:06d}.ckpt")
+        step_file = next(
+            f for f in os.listdir(tmp_path)
+            if parse_resume_step_from_filename(f) == step
+            and not f.startswith("opt") and f.endswith(".ckpt")
+        )
+        self._resumed_state(
+            setup, {**kw, "resume_checkpoint": str(tmp_path / step_file)}
+        )
+        out = capsys.readouterr().out
+        assert "FRESH optimizer" in out, out
+
+
 _PREEMPT_CHILD = r"""
 import sys, os
 import jax
