@@ -76,6 +76,11 @@ def ssim3d(
     tests/test_metrics.py."""
     a = a.astype(np.float64)
     b = b.astype(np.float64)
+    # skimage requires an odd window; additionally win=1 would make the
+    # sample-covariance factor NP/(NP-1) divide by zero, and an even win
+    # would desync the (win-1)//2 interior crop from the filter footprint
+    if win % 2 == 0 or win < 3:
+        raise ValueError(f"win must be odd and >= 3; got {win}")
     if min(a.shape) < win:
         raise ValueError(
             f"every side must be at least win={win}; got {a.shape}"

@@ -208,6 +208,55 @@ def step_checkpoint_name(
     )
 
 
+def opt_checkpoint_name(
+    contr: str, step: int, dataset: str = "brats", ext: str | None = None
+) -> str:
+    """Optimizer blob paired with a step-stamped checkpoint. The reference
+    writes bare ``opt{step:06d}.pt`` (`train_util.py:505-513`) — but this
+    framework's designed layout is ONE shared checkpoint_dir for all four
+    modalities (opt_best is contr-qualified, best_losses.txt holds every
+    modality), so an unqualified stem would collide across concurrently
+    trained runs and a resume could silently restore another modality's
+    Adam moments. Deviation: the stem carries dataset+contr; the bare
+    reference name is still recognized on load (`TrainLoop._apply_resume`)."""
+    ext = checkpoint_ext() if ext is None else ext
+    return f"opt_{dataset}_{contr}_{step:06d}{ext}"
+
+
+def prune_step_checkpoints(
+    ckpt_dir: str, contr: str, keep_step: int, dataset: str = "brats"
+) -> list[str]:
+    """Delete step-stamped model/optimizer blobs for this run that are
+    OLDER than ``keep_step`` (BEST checkpoints and other runs' files are
+    untouched). A preemption-save regime otherwise accumulates one full
+    model+Adam state (~1 GB at production size) per preemption, forever.
+    Returns the removed paths."""
+    import shutil
+
+    _async_writer.wait()
+    removed: list[str] = []
+    stems = [
+        os.path.join(ckpt_dir, f"{dataset}_{contr}_*"),
+        os.path.join(ckpt_dir, f"opt_{dataset}_{contr}_*"),
+    ]
+    for stem in stems:
+        for p in glob(stem + ".ckpt") + glob(stem + ".orbax"):
+            base = os.path.basename(p)
+            if "_BEST_" in base:
+                continue
+            m = re.search(r"_(\d{6,})(?:_|\.)", base)
+            if not m or int(m.group(1)) >= keep_step:
+                continue
+            for q in (p, p + ".json"):
+                if os.path.isdir(q):
+                    shutil.rmtree(q, ignore_errors=True)
+                    removed.append(q)
+                elif os.path.exists(q):
+                    os.remove(q)
+                    removed.append(q)
+    return removed
+
+
 def find_best_checkpoint(ckpt_dir: str, contr: str, dataset: str = "brats"):
     """Discovery parity with `complete_dataset.py:75-104`: newest
     ``{dataset}_{contr}_BEST_*`` (either backend format); returns

@@ -30,7 +30,11 @@ from fast_cwdm_tpu.diffusion.resample import UniformSampler
 from fast_cwdm_tpu.parallel import mesh as pmesh
 from fast_cwdm_tpu.training import checkpoints as ckpt
 from fast_cwdm_tpu.training.state import TrainState
-from fast_cwdm_tpu.training.train import make_optimizer, make_train_step
+from fast_cwdm_tpu.training.train import (
+    IMAGE_METRIC_KEYS,
+    make_optimizer,
+    make_train_step,
+)
 from fast_cwdm_tpu.utils import logger
 
 SUBBAND_NAMES = ("lll", "llh", "lhl", "lhh", "hll", "hlh", "hhl", "hhh")
@@ -217,7 +221,7 @@ class TrainLoop:
         if int(loaded.get("step", 0) or 0) > 0:
             self.resume_step = int(loaded["step"])
         # optimizer state: a step-stamped (preemption) checkpoint has a
-        # matching opt{step:06d} written by save(); prefer it — pairing
+        # matching opt blob written by save(); prefer it — pairing
         # step-N params with the LAST BEST save's Adam moments (possibly
         # tens of thousands of steps stale, with the anneal count jumped
         # back) spikes the LR onto mismatched moments. Fall back to
@@ -229,6 +233,13 @@ class TrainLoop:
         # a BEST checkpoint's matching state IS opt_best (written together)
         is_best = "_BEST_" in os.path.basename(path)
         if self.resume_step and not is_best:
+            # qualified stem first (this framework's save()), then the
+            # reference's bare opt{step:06d} for imported checkpoint dirs
+            stems.append(
+                ckpt.opt_checkpoint_name(
+                    self.contr, self.resume_step, self.dataset, ext=""
+                )
+            )
             stems.append(f"opt{self.resume_step:06d}")
         stems.append(f"opt_best_{self.contr}")
         opt_path = stale_fallback = None
@@ -248,7 +259,8 @@ class TrainLoop:
         if opt_path:
             if stale_fallback:
                 logger.log(
-                    f"WARNING: no opt{self.resume_step:06d} next to {path}; "
+                    f"WARNING: no step-{self.resume_step} opt blob next to "
+                    f"{path}; "
                     f"restoring {os.path.basename(opt_path)} — Adam moments "
                     "and the LR-anneal count come from the last BEST save, "
                     "not from the resumed step"
@@ -363,12 +375,30 @@ class TrainLoop:
                 step % self.log_interval == 0
                 or step % self.save_interval == 0
             ):
-                want = last_metrics
-                if step % (2 * self.log_interval) != 0:
+                if step % (2 * self.log_interval) == 0:
+                    want = dict(last_metrics)
+                    # the source-modality mid-planes ride in the SAME
+                    # fetch: on multi-host each fetch is a separate
+                    # collective barrier, so everything an image-log step
+                    # needs goes through one allgather
+                    if self.mode == "i2i" and isinstance(batch, dict):
+                        for mod in sorted(batch):
+                            if mod == self.contr or getattr(
+                                batch[mod], "ndim", 0
+                            ) != 5:
+                                continue
+                            # row 0 lives on process 0's devices only when
+                            # the batch is data-sharded across processes —
+                            # a plain device_get would raise on
+                            # non-addressable shards
+                            want[f"source/{mod}"] = batch[mod][
+                                0, :, :, batch[mod].shape[3] // 2, 0
+                            ]
+                else:
                     want = {
                         k: v
                         for k, v in last_metrics.items()
-                        if k not in ("sample_slice", "subband_slices")
+                        if k not in IMAGE_METRIC_KEYS
                     }
                 m = self._fetch_metrics(want)
 
@@ -416,21 +446,9 @@ class TrainLoop:
                         imgs[f"sample/{name.upper()}"] = visualize(
                             m["subband_slices"][0, :, :, i]
                         )
-                    if self.mode == "i2i" and isinstance(batch, dict):
-                        for mod in sorted(batch):
-                            if mod == self.contr or getattr(
-                                batch[mod], "ndim", 0
-                            ) != 5:
-                                continue
-                            # row 0 lives on process 0's devices only when
-                            # the batch is data-sharded across processes —
-                            # fetch through the collective path (a plain
-                            # device_get raises on non-addressable shards;
-                            # all ranks reach this at the same steps)
-                            sl = self._fetch_metrics(
-                                batch[mod][0, :, :, batch[mod].shape[3] // 2, 0]
-                            )
-                            imgs[f"source/{mod}"] = visualize(np.asarray(sl))
+                    for k in sorted(m):
+                        if k.startswith("source/"):
+                            imgs[k] = visualize(np.asarray(m[k]))
                     logger.log_images(imgs, step)
                 t3 = time.time()
                 t_log += t3 - t2
@@ -503,10 +521,17 @@ class TrainLoop:
             )
         return saved
 
-    def save(self, step: int) -> None:
+    def save(self, step: int, prune_previous: bool = True) -> None:
         """Legacy step-stamped save (`train_util.py:476-514`), including the
-        ``opt{step:06d}`` optimizer blob (`train_util.py:505-513`) so a
-        preemption resume restores the true Adam moments + anneal count."""
+        paired optimizer blob (`train_util.py:505-513`) so a preemption
+        resume restores the true Adam moments + anneal count. The opt stem
+        is dataset/contr-qualified (see `ckpt.opt_checkpoint_name`) —
+        concurrent modality runs share one checkpoint_dir here, and the
+        reference's bare ``opt{step:06d}`` would collide across them.
+        ``prune_previous`` removes this run's OLDER step-stamped blobs
+        after the new pair is on disk (deviation from the reference's
+        keep-everything regime: this loop step-saves only on preemption,
+        where history is dead weight — ~1 GB per preemption)."""
         if jax.process_index() != 0:
             return  # rank 0 owns checkpoint files (see save_if_best)
         name = ckpt.step_checkpoint_name(
@@ -527,7 +552,12 @@ class TrainLoop:
         )
         ckpt.save_checkpoint(
             os.path.join(
-                self.checkpoint_dir, f"opt{step:06d}{ckpt.checkpoint_ext()}"
+                self.checkpoint_dir,
+                ckpt.opt_checkpoint_name(self.contr, step, self.dataset),
             ),
             {"opt_state": self.state.opt_state},
         )
+        if prune_previous:
+            ckpt.prune_step_checkpoints(
+                self.checkpoint_dir, self.contr, step, self.dataset
+            )

@@ -12,7 +12,7 @@ Multi-host contract: the framework's checkpoint layer is single-writer —
 action is `sync_global_processes('Checkpointer:save_start')`, which every
 process must enter), so a rank-0-only call would deadlock the pod: rank 0
 blocks in the barrier, the other ranks block in the next train-step
-collective. `_mp_options()` therefore restricts the barrier set to the
+collective. `_checkpointer()` therefore restricts the barrier set to the
 calling process (`active_processes={process_index}`), making every
 save/load here a local, barrier-free operation on any rank.
 """

@@ -30,6 +30,11 @@ from fast_cwdm_tpu.diffusion.resample import (
 )
 from fast_cwdm_tpu.training.state import TrainState, update_ema
 
+# metric leaves that are image panels (~2 MB/sample mid-plane slices), not
+# scalars — the train loop strips these from fetches outside image-log steps;
+# one definition so producer (here) and consumer (loop.py) stay in lockstep
+IMAGE_METRIC_KEYS = ("sample_slice", "subband_slices")
+
 
 def make_optimizer(
     lr: float,
@@ -108,8 +113,12 @@ def make_train_step(
         # subband mid-planes every 200 steps) — slices, not full volumes,
         # so metrics stay tiny
         terms = dict(terms)
-        terms["sample_slice"] = out_idwt[:, :, :, out_idwt.shape[3] // 2, 0]
-        terms["subband_slices"] = model_out[:, :, :, model_out.shape[3] // 2, :]
+        terms[IMAGE_METRIC_KEYS[0]] = out_idwt[
+            :, :, :, out_idwt.shape[3] // 2, 0
+        ]
+        terms[IMAGE_METRIC_KEYS[1]] = model_out[
+            :, :, :, model_out.shape[3] // 2, :
+        ]
         return loss, terms
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -152,8 +161,8 @@ def make_train_step(
             "mse_wav": terms["mse_wav"],
             "loss_per_sample": terms["loss_per_sample"],
             "t": t,
-            "sample_slice": terms["sample_slice"],
-            "subband_slices": terms["subband_slices"],
+            IMAGE_METRIC_KEYS[0]: terms[IMAGE_METRIC_KEYS[0]],
+            IMAGE_METRIC_KEYS[1]: terms[IMAGE_METRIC_KEYS[1]],
         }
         if with_norms:
             # measured FREE on the production model (651.8 ms with vs

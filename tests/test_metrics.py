@@ -97,6 +97,17 @@ class TestPsnrSsim:
         with pytest.raises(ValueError, match="win=7"):
             ssim3d(np.zeros((6, 8, 8)), np.zeros((6, 8, 8)))
 
+    def test_ssim_rejects_bad_window(self):
+        """win=1 would divide by zero in the sample-covariance factor and
+        an even win desyncs the interior crop from the filter footprint —
+        both must be rejected, like skimage's odd-window requirement."""
+        import pytest
+
+        a = np.zeros((8, 8, 8))
+        for win in (1, 2, 4, 0, -3):
+            with pytest.raises(ValueError, match="odd"):
+                ssim3d(a, a, win=win)
+
     def test_ssim_symmetric(self):
         rng = np.random.default_rng(3)
         a = rng.random((12, 12, 12))

@@ -540,7 +540,9 @@ class TestPreemptionResume:
         loop.save(step)
         ckpt.wait_for_pending_saves()
         files = os.listdir(tmp_path)
-        assert f"opt{step:06d}.ckpt" in files, files
+        # the opt stem is dataset/contr-qualified: modality runs share one
+        # checkpoint_dir, a bare opt{step} would collide across them
+        assert ckpt.opt_checkpoint_name("t1n", step) in files, files
         step_file = next(
             f for f in files
             if parse_resume_step_from_filename(f) == step
@@ -559,6 +561,77 @@ class TestPreemptionResume:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_reference_style_bare_opt_blob_still_resumes(
+        self, setup, tmp_path, capsys
+    ):
+        """A checkpoint dir imported from the reference pairs the step
+        checkpoint with a bare ``opt{step:06d}`` blob
+        (`train_util.py:505-513`) — the resume search must find it."""
+        from fast_cwdm_tpu.utils import logger as flogger
+
+        flogger.configure()
+        from fast_cwdm_tpu.training import checkpoints as ckpt
+
+        kw = self._loop_kwargs(setup, tmp_path)
+        loop = TrainLoop(**kw)
+        state = loop.run_loop()
+        step = int(state.step)
+        loop.save(step)
+        ckpt.wait_for_pending_saves()
+        os.rename(
+            tmp_path / ckpt.opt_checkpoint_name("t1n", step),
+            tmp_path / f"opt{step:06d}.ckpt",
+        )
+        step_file = next(
+            f for f in os.listdir(tmp_path)
+            if parse_resume_step_from_filename(f) == step
+            and not f.startswith("opt") and f.endswith(".ckpt")
+        )
+        loop2 = self._resumed_state(
+            setup, {**kw, "resume_checkpoint": str(tmp_path / step_file)}
+        )
+        out = capsys.readouterr().out
+        assert "WARNING" not in out, out
+        for a, b in zip(
+            jax.tree.leaves(loop2.state.opt_state),
+            jax.tree.leaves(state.opt_state),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_preemption_saves_prune_older_and_skip_other_runs(
+        self, setup, tmp_path
+    ):
+        """Repeated preemption saves keep only the newest step-stamped
+        model+opt pair for THIS run; another modality's files and the BEST
+        regime are untouched."""
+        from fast_cwdm_tpu.utils import logger as flogger
+
+        flogger.configure()  # rebind stdout (capsys swaps it per test)
+        from fast_cwdm_tpu.training import checkpoints as ckpt
+
+        kw = self._loop_kwargs(setup, tmp_path)
+        loop = TrainLoop(**kw)
+        loop.state = loop._init_state(
+            jax.tree.map(np.asarray, setup[2])
+        )
+        other_model = tmp_path / "brats_t2w_000001_sampled_10.ckpt"
+        other_opt = tmp_path / ckpt.opt_checkpoint_name("t2w", 1)
+        best = tmp_path / "brats_t1n_BEST_sampled_10.ckpt"
+        for p in (other_model, other_opt, best):
+            p.write_bytes(b"sentinel")
+        loop.save(1)
+        loop.save(2)
+        ckpt.wait_for_pending_saves()
+        files = set(os.listdir(tmp_path))
+        assert ckpt.opt_checkpoint_name("t1n", 2) in files
+        assert ckpt.opt_checkpoint_name("t1n", 1) not in files
+        assert not any(
+            f.startswith("brats_t1n_000001") for f in files
+        ), files
+        # other runs + BEST regime untouched
+        assert other_model.name in files and other_opt.name in files
+        assert best.name in files
+
     def test_missing_opt_blob_warns_fresh(self, setup, tmp_path, capsys):
         from fast_cwdm_tpu.utils import logger as flogger
 
@@ -571,7 +644,7 @@ class TestPreemptionResume:
         step = int(state.step)
         loop.save(step)
         ckpt.wait_for_pending_saves()
-        os.remove(tmp_path / f"opt{step:06d}.ckpt")
+        os.remove(tmp_path / ckpt.opt_checkpoint_name("t1n", step))
         step_file = next(
             f for f in os.listdir(tmp_path)
             if parse_resume_step_from_filename(f) == step
