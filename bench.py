@@ -54,24 +54,13 @@ import numpy as np
 
 def build(steps: int, dtype, fused: bool = False):
     from fast_cwdm_tpu.diffusion.gaussian import GaussianDiffusion
-    from fast_cwdm_tpu.models import UNetModel
 
-    model = UNetModel(
-        image_size=112,
-        in_channels=32,
-        model_channels=64,
-        out_channels=8,
-        num_res_blocks=2,
-        attention_resolutions=(),
-        channel_mult=(1, 2, 2, 4, 4),
-        dims=3,
-        num_groups=32,
-        resblock_updown=True,
-        bottleneck_attention=False,
-        resample_2d=False,
-        fuse_conv=fused,
-        dtype=dtype,
-    )
+    # ONE flagship definition: the benchmark measures exactly the model the
+    # driver compile-checks (`__graft_entry__.entry`), with runtime choices
+    # (dtype, fused conv) passed as overrides
+    from __graft_entry__ import _flagship
+
+    model = _flagship(fuse_conv=fused, dtype=dtype)
     diffusion = GaussianDiffusion.named(
         "linear", steps, "sampled", mode="i2i"
     )

@@ -24,7 +24,9 @@ class ThreadedLoader:
     def __init__(self, dataset, *, num_workers: int = 4, max_prefetch: int = 8):
         self.dataset = dataset
         self.num_workers = max(1, num_workers)
-        self.max_prefetch = max_prefetch
+        # a non-positive permit count would park every worker before its
+        # first item and hang the consumer forever
+        self.max_prefetch = max(1, max_prefetch)
 
     def __iter__(self) -> Iterator:
         idx_q: queue.Queue = queue.Queue()

@@ -25,17 +25,26 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", _SRC, "-lz", "-o", _LIB + ".tmp",
-    ]
+    # pid-unique tmp: concurrent cold-starts (e.g. complete_dataset --shard
+    # fleet sweeps on one host) each link into their own file — a shared
+    # ".tmp" would let one process os.replace() a half-written library that
+    # another process's linker still holds open
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-lz", "-o", tmp]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, timeout=120
         )
-        os.replace(_LIB + ".tmp", _LIB)
+        os.replace(tmp, _LIB)  # atomic: loaders see old or new, never half
         return True
     except Exception:
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def get_lib():

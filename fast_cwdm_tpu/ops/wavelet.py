@@ -182,11 +182,15 @@ def _axis_up_generic(
 
 
 def _axis_down(x, axis, wavelet):
+    # even-size requirement holds for EVERY even-length filter bank (file
+    # header of the reference's `DWT_IDWT_Functions.py:7-9`); checking only
+    # on the Haar path let generic dbN inputs produce ragged lo/hi halves
+    # that died later in an opaque einsum/stack shape mismatch
+    if x.shape[axis] % 2:
+        raise ValueError(
+            f"axis {axis} has odd size {x.shape[axis]}; DWT requires even"
+        )
     if wavelet in ("haar", "db1"):
-        if x.shape[axis] % 2:
-            raise ValueError(
-                f"axis {axis} has odd size {x.shape[axis]}; DWT requires even"
-            )
         return _axis_down_haar(x, axis)
     return _axis_down_generic(x, axis, wavelet)
 
@@ -292,6 +296,11 @@ def dwt3_flat(
         raise ValueError(
             f"the Pallas DWT kernel is Haar-only (got wavelet={wavelet!r})"
         )
+    if impl == "pallas" and x.shape[-1] != 1:
+        raise ValueError(
+            "the Pallas DWT kernel is single-channel only "
+            f"(got C={x.shape[-1]}); use impl='auto' or 'xla'"
+        )
     if impl == "pallas" or (
         impl == "auto"
         and x.shape[-1] == 1
@@ -313,6 +322,11 @@ def idwt3_flat(
     if impl == "pallas" and wavelet not in ("haar", "db1"):
         raise ValueError(
             f"the Pallas IDWT kernel is Haar-only (got wavelet={wavelet!r})"
+        )
+    if impl == "pallas" and channels != 1:
+        raise ValueError(
+            "the Pallas IDWT kernel is single-channel only "
+            f"(got channels={channels}); use impl='auto' or 'xla'"
         )
     if channels == 1 and (
         impl == "pallas"

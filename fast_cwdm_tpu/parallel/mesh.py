@@ -137,8 +137,22 @@ def make_mesh(
         if n % (sp * tp):
             raise ValueError(f"{n} devices not divisible by sp*tp={sp * tp}")
         data = n // (sp * tp)
-    if data * sp * tp != n:
-        devices = devices[: data * sp * tp]
+    want = data * sp * tp
+    if want > n:
+        # fail HERE with the real cause — create_device_mesh's internal
+        # assertion about mesh shape vs device count is much less clear
+        raise ValueError(
+            f"mesh data*sp*tp={want} exceeds the {n} available devices"
+        )
+    if want < n:
+        # an explicit sub-mesh is legitimate (e.g. pin a job to 2 of 8
+        # chips) but silently running at a fraction of the machine is a
+        # classic misconfiguration — say so
+        print(
+            f"[make_mesh] using {want} of {n} devices "
+            f"(data={data}, sp={sp}, tp={tp}); pass data=-1 to use all"
+        )
+        devices = devices[:want]
     if tp == 1:
         dev_array = mesh_utils.create_device_mesh(
             (data, sp), devices=np.asarray(devices)

@@ -53,8 +53,13 @@ def devtime(fn, *args, iters: int = 3, detail: bool = False) -> dict:
         with jax.profiler.trace(d):
             for _ in range(iters):
                 r = fn(*args)
+            # hard sync via a DEPENDENT scalar fetch — slice ON DEVICE
+            # first; device_get of a full leaf would ship the whole array
+            # (potentially 100s of MB) through the 3-40 ms/dispatch tunnel
             leaf = jax.tree.leaves(r)[0]
-            np.asarray(jax.device_get(leaf)).ravel()[:1]  # hard sync
+            if hasattr(leaf, "ravel"):
+                leaf = leaf.ravel()[:1]
+            np.asarray(jax.device_get(leaf))
         paths = sorted(
             glob.glob(os.path.join(d, "plugins/profile/*/*.xplane.pb"))
         )
@@ -62,9 +67,17 @@ def devtime(fn, *args, iters: int = 3, detail: bool = False) -> dict:
             return {"total_ms": 0.0}
         try:
             xs = _parse_xspace(paths[-1])
-        except ImportError:
-            # tensorflow (xplane proto) not installed — degrade like the
-            # no-trace case rather than hard-failing
+        except ImportError as e:
+            # the project measurement protocol treats devtime as ground
+            # truth — silently returning 0.0 on a REAL TPU run would record
+            # a 0 ms kernel as an infinite speedup. Degrade quietly only
+            # where 0.0 is already the documented answer (no TPU plane).
+            if jax.default_backend() == "tpu":
+                raise RuntimeError(
+                    "devtime needs the xplane proto (tensorflow/tsl) to "
+                    "parse TPU profiles; refusing to report 0.0 as a "
+                    "measurement on a TPU backend"
+                ) from e
             return {"total_ms": 0.0}
     finally:
         shutil.rmtree(d, ignore_errors=True)

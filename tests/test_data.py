@@ -298,6 +298,20 @@ class TestLoaderRobustness:
         out = list(it)
         assert out == list(range(20))
 
+    def test_nonpositive_prefetch_clamped(self):
+        """max_prefetch<=0 would park every worker before its first item
+        and hang the consumer forever — it must clamp to 1, not hang."""
+        from fast_cwdm_tpu.data.loader import ThreadedLoader
+
+        class Tiny:
+            def __len__(self):
+                return 5
+
+            def __getitem__(self, i):
+                return i
+
+        assert list(ThreadedLoader(Tiny(), max_prefetch=0)) == list(range(5))
+
     def test_constant_volume_normalizes_to_zeros(self):
         import numpy as np
 

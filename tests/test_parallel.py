@@ -72,6 +72,14 @@ def test_mesh_shapes():
     assert local_batch_size(8, mesh) == 2
     with pytest.raises(ValueError):
         local_batch_size(6, make_mesh())
+    # over-subscription fails HERE with the real cause, not inside
+    # create_device_mesh's opaque shape assertion
+    with pytest.raises(ValueError, match="exceeds"):
+        make_mesh(data=16)
+    # an explicit sub-mesh is allowed (pin a job to part of the machine)
+    sub = make_mesh(data=2, sp=1)
+    assert dict(sub.shape) == {"data": 2, "sp": 1}
+    assert sub.devices.size == 2
 
 
 def test_batch_spec():

@@ -175,6 +175,26 @@ def test_odd_size_rejected():
         wv.dwt3(x)
 
 
+def test_odd_size_rejected_generic_wavelet():
+    """The even-size requirement holds for every even-length filter bank —
+    the generic dbN path must fail with the same clear error, not a ragged
+    einsum/stack shape mismatch downstream."""
+    with pytest.raises(ValueError, match="odd size"):
+        wv.dwt1(jnp.zeros((1, 7, 1)), "db2")  # L axis is -2
+    with pytest.raises(ValueError, match="odd size"):
+        wv.dwt3(jnp.zeros((1, 4, 5, 4, 1)), "db2")
+
+
+def test_explicit_pallas_impl_rejects_multichannel():
+    """The Pallas kernels are single-channel; an explicit impl='pallas'
+    with C>1 must raise (not silently drop channels or silently fall back
+    — dwt and idwt previously disagreed on which)."""
+    with pytest.raises(ValueError, match="single-channel"):
+        wv.dwt3_flat(jnp.zeros((1, 4, 4, 4, 4)), impl="pallas")
+    with pytest.raises(ValueError, match="single-channel"):
+        wv.idwt3_flat(jnp.zeros((1, 2, 2, 2, 32)), channels=4, impl="pallas")
+
+
 class TestHaarClampProject:
     """Fused block-local x0 projection vs the explicit IDWT→clamp→DWT
     round trip (`gaussian_diffusion.py:335-354` semantics)."""
