@@ -216,6 +216,7 @@ def load_best_synthesis(
     use_ema: bool = True,
     mesh=None,
     tag: str = "synth",
+    clip_denoised: bool = True,
 ):
     """Discover the BEST checkpoint for ``contr`` and build its jitted
     synthesis fn: find → merge the checkpoint's stored config → construct
@@ -257,7 +258,9 @@ def load_best_synthesis(
     cfg.update(mode="i2i", sample_schedule=schedule, diffusion_steps=steps)
     model, diffusion = build_model_and_diffusion(cfg)
     params = load_params(path, model, use_ema=use_ema)
-    fn = make_synthesis_fn(model, params, diffusion, mesh=mesh)
+    fn = make_synthesis_fn(
+        model, params, diffusion, mesh=mesh, clip_denoised=clip_denoised
+    )
     print(
         f"[{tag}] {contr}: {os.path.basename(path)} "
         f"({schedule}, {steps} steps)"
@@ -267,7 +270,7 @@ def load_best_synthesis(
 
 def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
                       mesh=None, chunk: int | str | None = "auto",
-                      sampler: str = "ddpm"):
+                      sampler: str = "ddpm", clip_denoised: bool = True):
     """One jitted program: scan the full reverse chain, IDWT, clamp [0,1],
     zero non-brain voxels via the first condition volume
     (`scripts/sample.py:104-125`).
@@ -317,7 +320,9 @@ def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
                 if sampler == "ddim"
                 else diffusion.p_sample_loop
             )
-            sample = loop(model_fn, shape, key, cond=cond)
+            sample = loop(
+                model_fn, shape, key, cond=cond, clip_denoised=clip_denoised
+            )
             return postprocess(sample, mask_vol)
 
     else:
@@ -332,7 +337,14 @@ def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
                 if sampler == "ddim"
                 else diffusion.scan_steps
             )
-            return scan(model_fn, img, ts_c, keys_c, cond=cond)
+            return scan(
+                model_fn,
+                img,
+                ts_c,
+                keys_c,
+                cond=cond,
+                clip_denoised=clip_denoised,
+            )
 
         def synth(params, cond, mask_vol, key):
             t_total = diffusion.num_timesteps

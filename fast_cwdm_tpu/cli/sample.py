@@ -52,6 +52,10 @@ def create_argparser() -> argparse.ArgumentParser:
     defaults.update(
         dims=3, num_groups=32, channel_mult="1,2,2,4,4",
         in_channels=32, out_channels=8, bottleneck_attention=False,
+        # run.sh:134 passes --predict_xstart=True to BOTH train and sample;
+        # the schema default (False → EPSILON) would silently mis-decode a
+        # default-trained x0-predictor checkpoint into plausible garbage
+        predict_xstart=True,
     )
     parser = argparse.ArgumentParser()
     add_dict_to_argparser(parser, defaults)
@@ -71,6 +75,15 @@ def main(argv=None) -> None:
     np.random.seed(args.seed)
 
     cfg = args_to_dict(args, model_and_diffusion_defaults().keys())
+    # the config stored with the checkpoint wins over CLI flags for
+    # model/diffusion keys (the reference re-derives them from the FILENAME;
+    # here they ride in the sidecar) — dtype stays a runtime choice
+    from fast_cwdm_tpu.training.checkpoints import load_checkpoint_config
+
+    stored = load_checkpoint_config(args.model_path) or {}
+    cfg.update(
+        {k: v for k, v in stored.items() if k in cfg and k != "dtype"}
+    )
     cfg["mode"] = "i2i"
     if args.use_ddim and args.sampling_steps:
         cfg["timestep_respacing"] = f"ddim{args.sampling_steps}"
@@ -79,6 +92,7 @@ def main(argv=None) -> None:
     synth = common.make_synthesis_fn(
         model, params, diffusion,
         sampler="ddim" if args.use_ddim else "ddpm",
+        clip_denoised=args.clip_denoised,
     )
 
     ds = BRATSVolumes(args.data_dir, mode="eval")

@@ -87,6 +87,7 @@ def main(argv=None) -> None:
                 dtype=args.dtype,
                 use_ema=args.use_ema,
                 tag="auto",
+                clip_denoised=args.clip_denoised,
             )
         return synth_cache[contr]
 

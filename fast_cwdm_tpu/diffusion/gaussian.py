@@ -281,7 +281,15 @@ class GaussianDiffusion:
             and x.shape[-1] == 8
         ):
             return wv.haar_clamp_project(x)
-        img = wv.idwt_normalized(x, channels=1, wavelet=self.wavelet)
+        if x.shape[-1] % 8:
+            raise ValueError(
+                "clip_denoised projects x0 through an IDWT→clamp→DWT round "
+                "trip, which needs a band-fused wavelet latent (channels "
+                f"divisible by 8); got {x.shape[-1]} channels. Pass "
+                "clip_denoised=False for non-wavelet latents."
+            )
+        channels = x.shape[-1] // 8
+        img = wv.idwt_normalized(x, channels=channels, wavelet=self.wavelet)
         img = jnp.clip(img, 0.0, 1.0)
         return wv.dwt_normalized(img, wavelet=self.wavelet)
 

@@ -264,6 +264,20 @@ class WavUNetModel(nn.Module):
         train: bool = False,
     ):
         assert (y is not None) == (self.num_classes is not None)
+        if self.additive_skips:
+            # the reference's WavUNet additive branch is bit-rotted dead
+            # code: its encoder stores None-or-7-subband-TUPLES in hs
+            # (`wunet.py:752-755`), so `h = (h + new_hs)/sqrt(2)`
+            # (`wunet.py:773-775`) is a tensor+tuple TypeError on first
+            # use. Additive skips are also architecturally incoherent here
+            # — the skips ARE the high-frequency subbands the wavelet
+            # Upsample needs for IDWT reconstruction. Reject loudly rather
+            # than silently training a different architecture.
+            raise ValueError(
+                "WavUNetModel does not support additive_skips (broken dead "
+                "code in the reference, see wunet.py:752-775); use "
+                "UNetModel(additive_skips=True) or the frequency skips"
+            )
         heads_up = (
             self.num_heads
             if self.num_heads_upsample == -1

@@ -53,8 +53,10 @@ def unet_layout(model: UNetModel) -> Iterator[tuple[str, str, str]]:
         if level != len(model.channel_mult) - 1:
             if model.resblock_updown:
                 yield f"input_blocks.{tidx}.0", f"in_{bidx}_down", "res"
-            else:
+            elif model.conv_resample:
                 yield f"input_blocks.{tidx}.0", f"in_{bidx}_down", "downsample"
+            # else conv_resample=False: avg-pool downsample, parameterless
+            # on both sides (`unet.py:92-100`) — nothing to bridge
             tidx += 1
             bidx += 1
             ds *= 2
@@ -77,8 +79,9 @@ def unet_layout(model: UNetModel) -> Iterator[tuple[str, str, str]]:
             if level and i == nrb:
                 if model.resblock_updown:
                     yield f"output_blocks.{bidx}.{sub}", f"out_{bidx}_up", "res"
-                else:
+                elif model.conv_resample:
                     yield f"output_blocks.{bidx}.{sub}", f"out_{bidx}_up", "upsample"
+                # conv_resample=False: interpolate-only upsample, no params
                 ds //= 2
             bidx += 1
 
@@ -111,8 +114,10 @@ def encoder_layout(model: EncoderUNetModel) -> Iterator[tuple[str, str, str]]:
         if level != len(model.channel_mult) - 1:
             if model.resblock_updown:
                 yield f"input_blocks.{tidx}.0", f"in_{bidx}_down", "res"
-            else:
+            elif model.conv_resample:
                 yield f"input_blocks.{tidx}.0", f"in_{bidx}_down", "downsample"
+            # else conv_resample=False: avg-pool downsample, parameterless
+            # on both sides (`unet.py:92-100`) — nothing to bridge
             tidx += 1
             bidx += 1
             ds *= 2

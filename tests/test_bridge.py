@@ -65,6 +65,34 @@ def test_roundtrip_exact(golden):
         np.testing.assert_array_equal(sd2[k], sd[k])
 
 
+def test_roundtrip_parameterless_resample():
+    """conv_resample=False + resblock_updown=False: the Down/Upsample
+    layers have NO parameters on either side (avg-pool / interpolate,
+    `unet.py:92-100`) — the layout must not demand conv leaves for them."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = dict(
+        TINY_CFG,
+        resblock_updown=False,
+        conv_resample=False,
+        attention_resolutions=(),
+        bottleneck_attention=False,
+    )
+    m = UNetModel(**cfg)
+    x = jnp.zeros((1, 8, 8, 8, 8))
+    params = m.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))[
+        "params"
+    ]
+    sd = flax_to_torch(params, m)
+    assert not any(".op." in k or ".2.conv." in k for k in sd), sorted(sd)[:8]
+    params2 = torch_to_flax(sd, m)
+    a, b = jax.tree.leaves(params), jax.tree.leaves(params2)
+    assert len(a) == len(b)
+    for x1, x2 in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
 def test_missing_key_raises(golden):
     _, sd = golden
     m = UNetModel(**TINY_CFG)

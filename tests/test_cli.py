@@ -255,6 +255,13 @@ def test_chunked_synthesis_matches_monolithic():
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 32)),
         jnp.zeros((1,), jnp.int32),
     )["params"]
+    # the output conv is zero-init, which would make pred_x0 ≡ 0 and the
+    # clamp a no-op — give it weight so clip_denoised actually matters
+    params = dict(params)
+    params["out_conv"] = jax.tree.map(
+        lambda p: jax.random.normal(jax.random.PRNGKey(2), p.shape) * 0.3,
+        params["out_conv"],
+    )
     key = jax.random.PRNGKey(9)
     mono = common.make_synthesis_fn(
         model, params, diffusion, crop_z=16, chunk=None
@@ -273,6 +280,18 @@ def test_chunked_synthesis_matches_monolithic():
         model, params, diffusion, crop_z=16, chunk=3, sampler="ddim"
     )(cond, mask, key)
     np.testing.assert_allclose(chunked_d, mono_d, atol=1e-6)
+    # clip_denoised must actually reach the loops (regression: the CLI
+    # flag was parsed but silently ignored) — and stay chunk-consistent
+    mono_nc = common.make_synthesis_fn(
+        model, params, diffusion, crop_z=16, chunk=None, clip_denoised=False
+    )(cond, mask, key)
+    chunked_nc = common.make_synthesis_fn(
+        model, params, diffusion, crop_z=16, chunk=3, clip_denoised=False
+    )(cond, mask, key)
+    np.testing.assert_allclose(chunked_nc, mono_nc, atol=1e-6)
+    assert np.abs(mono_nc - mono).max() > 1e-6, (
+        "clip_denoised=False produced identical output — flag not threaded"
+    )
 
 
 def test_ddim_sampler_selection():

@@ -490,6 +490,44 @@ def test_unfused_clip_projection_matches_fused():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_clip_projection_multichannel_latent():
+    """_process_xstart generalizes to C>1 wavelet latents (8*C channels):
+    the projection must clamp EACH image channel's reconstruction, i.e.
+    equal the per-channel fused Haar projection applied band-wise."""
+    import jax
+
+    d = GaussianDiffusion.named(
+        "linear", 4, "sampled", mode="i2i", target_channels=16
+    )
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 4, 4, 16))
+    out = d._process_xstart(x, clip_denoised=True)
+    assert out.shape == x.shape
+    # band-major layout: channel c of image k lives at band*2 + k
+    from fast_cwdm_tpu.ops import wavelet as wv
+
+    per = np.stack(
+        [
+            np.asarray(wv.haar_clamp_project(np.asarray(x)[..., k::2]))
+            for k in range(2)
+        ],
+        axis=-1,
+    ).reshape(*x.shape[:-1], 16)
+    np.testing.assert_allclose(np.asarray(out), per, atol=1e-5)
+
+
+def test_clip_projection_rejects_nonwavelet_latent():
+    """target_channels not divisible by 8 cannot round-trip through the
+    wavelet projection — must fail with a clear error, not a reshape
+    crash (or silently wrong output)."""
+    import pytest
+
+    d = GaussianDiffusion.named(
+        "linear", 4, "sampled", target_channels=4
+    )
+    with pytest.raises(ValueError, match="divisible by 8"):
+        d._process_xstart(np.zeros((1, 4, 4, 4, 4)), clip_denoised=True)
+
+
 def test_cond_fn_threads_through_loops():
     """Classifier guidance plumbing: cond_fn shifts the chain inside both
     the scanned ancestral loop (`gaussian_diffusion.py:569-572`) and the

@@ -186,6 +186,28 @@ class TestWavUNet:
         # output conv is NOT zero-init (`wunet.py:701-705`)
         assert float(jnp.abs(out).max()) > 0.0
 
+    def test_additive_skips_rejected(self):
+        """The reference WavUNet's additive branch is bit-rotted dead code
+        (tensor+tuple TypeError, `wunet.py:752-775`) and incompatible with
+        frequency skips — silently ignoring the flag would train a
+        different architecture than configured."""
+        m = WavUNetModel(
+            image_size=16,
+            in_channels=8,
+            model_channels=16,
+            out_channels=8,
+            num_res_blocks=1,
+            attention_resolutions=(),
+            channel_mult=(1, 2),
+            dims=3,
+            num_groups=8,
+            additive_skips=True,
+        )
+        x = jnp.ones((1, 8, 8, 8, 8))
+        t = jnp.zeros((1,), jnp.int32)
+        with pytest.raises(ValueError, match="additive_skips"):
+            m.init(jax.random.PRNGKey(0), x, t)
+
 
 class TestEncoder:
     @pytest.mark.parametrize("pool", ["adaptive", "spatial", "spatial_v2"])
