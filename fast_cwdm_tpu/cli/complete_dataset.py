@@ -137,7 +137,11 @@ def main(argv=None) -> None:
                         path = os.path.join(case_dir, f)
                         avail[m] = load_preprocessed(path)[None]
                         if src_img is None:
-                            src_img = nifti.load(path)
+                            # header-only: the voxels were just decoded by
+                            # load_preprocessed; a full nifti.load here
+                            # would gunzip the same ~9 MB volume TWICE per
+                            # case on the 2-worker prefetch pool
+                            src_img = nifti.load_header(path)
         return missing, avail, src_img
 
     from concurrent.futures import ThreadPoolExecutor

@@ -1,9 +1,14 @@
 """Build a pseudo-validation set by dropping one random modality per case
 (parity surface for `/root/reference/scripts/drop_modality.py`).
 
-Same semantics: numpy seed 123456 (`drop_modality.py:20-27`), one modality
-removed per case, a ``missing_{modality}.txt`` marker written in the case
-directory.
+STREAM-EXACT with the reference: numpy seed 123456, one vectorized
+``randint(0, 4, size=len(entries))`` over ALL sorted directory entries
+(including stray files, which consume an index but are skipped), indexed
+into the ALPHABETICAL modality list ``('t1c','t1n','t2f','t2w')``
+(`drop_modality.py:19-28,40`). Any deviation in list order or draw count
+assigns a different dropped modality to essentially every case, making
+downstream SSIM/Dice numbers incomparable with reference-derived baselines
+— the whole point of the pinned seed.
 """
 
 from __future__ import annotations
@@ -14,7 +19,9 @@ import shutil
 
 import numpy as np
 
-from fast_cwdm_tpu.diffusion.gaussian import MODALITIES
+# the reference's alphabetical order — NOT the framework's canonical
+# MODALITIES tuple (t1n,t1c,t2w,t2f); see module docstring
+_DROP_ORDER = ("t1c", "t1n", "t2f", "t2w")
 
 
 def main(argv=None) -> None:
@@ -25,17 +32,19 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     rng = np.random.RandomState(args.seed)
-    cases = sorted(
-        d
-        for d in os.listdir(args.input_dir)
+    entries = sorted(os.listdir(args.input_dir))
+    drop_index = rng.randint(0, 4, size=len(entries)) if entries else []
+    cases = [
+        (i, d)
+        for i, d in enumerate(entries)
         if os.path.isdir(os.path.join(args.input_dir, d))
-    )
+    ]
     print(f"[drop] {len(cases)} cases → {args.output_dir}")
-    for case in cases:
+    for count, case in cases:
         src = os.path.join(args.input_dir, case)
         dst = os.path.join(args.output_dir, case)
         os.makedirs(dst, exist_ok=True)
-        drop = MODALITIES[rng.randint(0, len(MODALITIES))]
+        drop = _DROP_ORDER[drop_index[count]]
         for f in sorted(os.listdir(src)):
             if f"-{drop}." in f:
                 continue

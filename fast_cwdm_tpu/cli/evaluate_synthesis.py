@@ -38,11 +38,37 @@ def dice_score(pred: np.ndarray, truth: np.ndarray, label: int) -> float:
 def mean_multilabel_dice(
     pred: np.ndarray, truth: np.ndarray, labels=BRATS_LABELS
 ) -> float:
-    """Mean over labels present in either volume
-    (`evaluate_synthesis.py:25-66`)."""
+    """Mean FOREGROUND Dice over labels present in either volume.
+
+    Deliberate deviation from the reference's `dice_coef_multilabel`
+    (`evaluate_synthesis.py:18-24`), which averages labels 0..3 INCLUDING
+    background over a fixed /4 — the near-perfect background class inflates
+    the mean by ~25% weight. Use :func:`mean_multilabel_dice_ref` when
+    comparing against reference-derived baseline numbers."""
     scores = [dice_score(pred, truth, l) for l in labels]
     scores = [s for s in scores if not np.isnan(s)]
     return float(np.mean(scores)) if scores else float("nan")
+
+
+def mean_multilabel_dice_ref(
+    pred: np.ndarray,
+    truth: np.ndarray,
+    num_labels: int = 4,
+    smooth: float = 1e-6,
+) -> float:
+    """Bit-compatible with the reference's `dice_coef_multilabel(gt, pred,
+    4)` (`evaluate_synthesis.py:13-24`): labels 0..num_labels-1 INCLUDING
+    background, fixed /num_labels, smoothed — for apples-to-apples
+    comparison with reference-pipeline Dice numbers."""
+    total = 0.0
+    for label in range(num_labels):
+        t = (truth == label).astype(np.float64)
+        p = (pred == label).astype(np.float64)
+        inter = float(np.sum(t * p))
+        total += (2.0 * inter + smooth) / (
+            float(np.sum(t)) + float(np.sum(p)) + smooth
+        )
+    return total / num_labels
 
 
 # ---------------------------------------------------------------------------
@@ -203,10 +229,24 @@ def calculate_dice_scores(pred_dir: str, gt_dir: str) -> dict:
         pred = np.rint(nifti.load(os.path.join(pred_dir, f)).get_fdata())
         gt = np.rint(nifti.load(gt_path).get_fdata())
         rows.append(
-            {"case": f, "dice": mean_multilabel_dice(pred, gt)}
+            {
+                "case": f,
+                "dice": mean_multilabel_dice(pred, gt),
+                # reference-formulation score (incl. background, /4,
+                # smoothed) for comparison against reference baselines
+                "dice_ref": mean_multilabel_dice_ref(pred, gt),
+            }
         )
     mean = float(np.mean([r["dice"] for r in rows])) if rows else None
-    return {"n": len(rows), "dice_mean": mean, "cases": rows}
+    mean_ref = (
+        float(np.mean([r["dice_ref"] for r in rows])) if rows else None
+    )
+    return {
+        "n": len(rows),
+        "dice_mean": mean,
+        "dice_mean_ref": mean_ref,
+        "cases": rows,
+    }
 
 
 def main(argv=None) -> None:
@@ -255,6 +295,12 @@ def main(argv=None) -> None:
             )
         pred_dir = os.path.join(args.work_dir, "predictions")
         os.makedirs(pred_dir, exist_ok=True)
+        if not args.completed_dir:
+            p.error("--completed_dir is required for --mode=nnunet")
+        if not args.gt_dir:
+            # fail BEFORE the (hours-long) nnUNet prediction pass, not after
+            # it with a silent n=0 report
+            p.error("--gt_dir is required for --mode=nnunet")
         if run_nnunet_prediction(args.completed_dir, pred_dir):
             report = calculate_dice_scores(pred_dir, args.gt_dir)
         else:

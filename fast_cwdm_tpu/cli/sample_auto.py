@@ -99,7 +99,9 @@ def main(argv=None) -> None:
     def write_sample(sample, src, out_dir, out_name):
         from fast_cwdm_tpu.data import nifti
 
-        src_img = nifti.load(src)
+        # header-only: only geometry/affine/header are needed — a full
+        # load would gunzip the whole source volume again
+        src_img = nifti.load_header(src)
         # un-crop to the source geometry (240×240×155 for real BraTS)
         full = unprocess_volume(sample[..., None], raw_shape=src_img.shape)
         pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)

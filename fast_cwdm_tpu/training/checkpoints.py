@@ -320,8 +320,18 @@ def save_if_best(
     # async job, so reading the ledger before the join could compare against a
     # stale best and let a worse loss overwrite a better checkpoint
     _async_writer.wait()
+    if not np.isfinite(loss):
+        # a NaN loss would pass an inverted ">=" guard, overwrite the
+        # genuine best with diverged params, and poison the ledger (every
+        # later "x >= nan" is False too). The reference's "loss < best"
+        # direction is NaN-safe (`train_util.py:321`); rejecting non-finite
+        # outright also covers the first save of a diverged run.
+        return False
     best = load_best_losses(ckpt_dir)
-    if contr in best and loss >= best[contr]:
+    prev = best.get(contr)
+    # a non-finite ledger entry (poisoned by an older run) counts as absent
+    # so the first finite loss heals it
+    if prev is not None and np.isfinite(prev) and not (loss < prev):
         return False
     name = best_checkpoint_name(contr, sample_schedule, diffusion_steps, dataset)
     new_main = os.path.abspath(os.path.join(ckpt_dir, name))

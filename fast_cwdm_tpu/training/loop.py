@@ -207,14 +207,47 @@ class TrainLoop:
         path = getattr(self, "_pending_resume", None)
         if not path:
             return
-        template = {
-            "params": self.state.params,
-            "ema_params": self.state.ema_params,
-            "step": 0,
-        }
-        loaded = ckpt.load_checkpoint(path, template)
+        # the checkpoint's EMA-shadow count may differ from this run's
+        # ema_rate config (a convert_checkpoint import carries 0 shadows;
+        # a rate change between runs shifts the tuple arity) and flax
+        # from_bytes is tuple-length-strict — probe arities like
+        # cli.common.load_params does, live arity first
+        live_ema = self.state.ema_params
+        arities = [len(live_ema)] + [
+            n for n in (0, 1, 2, 3) if n != len(live_ema)
+        ]
+        loaded = None
+        last_err: Exception | None = None
+        for n_ema in arities:
+            template = {
+                "params": self.state.params,
+                "ema_params": (self.state.params,) * n_ema,
+                "step": 0,
+            }
+            try:
+                loaded = ckpt.load_checkpoint(path, template)
+                break
+            except (ValueError, TypeError, KeyError, IndexError) as e:
+                last_err = e
+                continue
+        if loaded is None:
+            raise ValueError(
+                f"could not deserialize {path} with 0-3 EMA shadows — "
+                "incompatible checkpoint layout"
+            ) from last_err
+        got = tuple(loaded.get("ema_params") or ())
+        if len(got) != len(live_ema):
+            logger.log(
+                f"resume: checkpoint has {len(got)} EMA shadow(s), run "
+                f"wants {len(live_ema)} — missing shadows start from the "
+                "loaded params"
+            )
+        ema = tuple(
+            got[i] if i < len(got) else loaded["params"]
+            for i in range(len(live_ema))
+        )
         self.state = self.state.replace(
-            params=loaded["params"], ema_params=loaded["ema_params"]
+            params=loaded["params"], ema_params=ema
         )
         # the step INSIDE the checkpoint is authoritative (filename parsing
         # is a fallback for reference-style names without a payload step)
@@ -479,6 +512,18 @@ class TrainLoop:
                 ckpt.wait_for_pending_saves()
                 return self.state
 
+        # the final annealed steps are typically the lowest-loss weights of
+        # the run: when the anneal boundary isn't a save step, offer them to
+        # save_if_best like the reference's post-loop save
+        # (`train_util.py:311-313`)
+        if (
+            self.lr_anneal_steps
+            and step
+            and step % self.save_interval != 0
+            and last_metrics is not None
+        ):
+            loss = float(self._fetch_metrics(last_metrics["loss"]))
+            self.save_if_best(loss, step)
         ckpt.wait_for_pending_saves()
         return self.state
 

@@ -227,6 +227,43 @@ def test_find_missing_modality(tmp_path):
     assert find_missing_modality(case2) is None
 
 
+def test_drop_modality_matches_reference_stream(tmp_path):
+    """The seeded drop assignment must reproduce the reference's stream
+    EXACTLY (`drop_modality.py:19-28`): one vectorized randint over ALL
+    sorted entries (stray files consume a draw), alphabetical modality
+    list — otherwise pseudo-validation task mixes are incomparable."""
+    from fast_cwdm_tpu.cli import drop_modality
+
+    src = tmp_path / "val"
+    src.mkdir()
+    cases = [f"BraTS-GLI-{i:05d}-000" for i in range(6)]
+    for c in cases:
+        d = src / c
+        d.mkdir()
+        for m in MODALITIES:
+            (d / f"{c}-{m}.nii.gz").write_bytes(b"x")
+    # a stray file sorts between cases and must consume one RNG draw,
+    # exactly as the reference's os.listdir iteration does
+    (src / "BraTS-GLI-00002-000.notes.txt").write_bytes(b"y")
+    out = tmp_path / "pseudo"
+    drop_modality.main([f"--input_dir={src}", f"--output_dir={out}"])
+
+    entries = sorted(os.listdir(src))
+    expected_idx = np.random.RandomState(123456).randint(
+        0, 4, size=len(entries)
+    )
+    ref_order = ("t1c", "t1n", "t2f", "t2w")
+    for i, entry in enumerate(entries):
+        if not (src / entry).is_dir():
+            continue
+        marker = [
+            f
+            for f in os.listdir(out / entry)
+            if f.startswith("missing_")
+        ]
+        assert marker == [f"missing_{ref_order[expected_idx[i]]}.txt"]
+
+
 def test_chunked_synthesis_matches_monolithic():
     """Very long schedules sample as separately-dispatched chunk scans;
     numerics must equal the single-scan path exactly (same key splitting)."""

@@ -319,3 +319,26 @@ class TestLoaderRobustness:
 
         out = clip_and_normalize(np.full((4, 4, 4), 7.0, np.float32))
         assert np.all(out == 0.0) and np.isfinite(out).all()
+
+
+def test_load_header_matches_full_load(tmp_path):
+    """`nifti.load_header` parses geometry/affine/header identically to a
+    full `nifti.load` without decoding the voxel payload (complete_dataset
+    and sample_auto take save geometry from it after the native decoder
+    already produced the voxels)."""
+    from fast_cwdm_tpu.data import Nifti1Image, save
+    from fast_cwdm_tpu.data import nifti
+
+    rng = np.random.default_rng(1)
+    vol = (rng.random((10, 12, 7)) * 50).astype(np.float32)
+    aff = np.array(
+        [[-1, 0, 0, 5], [0, 1, 0, -6], [0, 0, 2.0, -3], [0, 0, 0, 1.0]]
+    )
+    for name in ("x.nii.gz", "x.nii"):
+        p = str(tmp_path / name)
+        save(Nifti1Image(vol, aff), p)
+        full = nifti.load(p)
+        hdr = nifti.load_header(p)
+        assert hdr.shape == full.shape
+        np.testing.assert_allclose(hdr.affine, full.affine, atol=1e-5)
+        assert hdr.header.get_data_shape() == full.header.get_data_shape()

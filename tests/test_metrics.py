@@ -97,6 +97,37 @@ class TestPsnrSsim:
         with pytest.raises(ValueError, match="win=7"):
             ssim3d(np.zeros((6, 8, 8)), np.zeros((6, 8, 8)))
 
+    def test_dice_ref_matches_reference_formulation(self):
+        """`mean_multilabel_dice_ref` must equal the reference's
+        `dice_coef_multilabel(gt, pred, 4)` bit for bit: labels 0..3
+        INCLUDING background, fixed /4, smooth=1e-6."""
+        from fast_cwdm_tpu.cli.evaluate_synthesis import (
+            mean_multilabel_dice_ref,
+        )
+
+        rng = np.random.default_rng(0)
+        gt = rng.integers(0, 4, (8, 8, 8))
+        pred = rng.integers(0, 4, (8, 8, 8))
+
+        def ref(y_true, y_pred, num_labels=4, smooth=1e-6):
+            dice = 0.0
+            for index in range(num_labels):
+                t = (y_true == index).astype(np.float64)
+                p = (y_pred == index).astype(np.float64)
+                inter = np.sum(t * p)
+                dice += (2.0 * inter + smooth) / (
+                    np.sum(t) + np.sum(p) + smooth
+                )
+            return dice / num_labels
+
+        np.testing.assert_allclose(
+            mean_multilabel_dice_ref(pred, gt), ref(gt, pred), rtol=1e-12
+        )
+        # background inclusion makes it differ from the foreground metric
+        assert mean_multilabel_dice_ref(pred, gt) != mean_multilabel_dice(
+            pred, gt
+        )
+
     def test_ssim_rejects_bad_window(self):
         """win=1 would divide by zero in the sample-covariance factor and
         an even win desyncs the interior crop from the filter footprint —

@@ -146,6 +146,29 @@ class TestCheckpoints:
             np.asarray(chex_leaf), np.asarray(jax.tree.leaves(params)[0])
         )
 
+    def test_save_if_best_rejects_nan_and_heals_poisoned_ledger(
+        self, tmp_path, setup
+    ):
+        """A NaN loss must never claim the best slot (the reference's
+        'loss < best' is NaN-safe, `train_util.py:321`); a non-finite
+        ledger entry from an older run counts as absent so the first
+        finite loss heals it."""
+        _, _, _, params = setup
+        d = str(tmp_path)
+        payload = {"params": params}
+        kw = dict(sample_schedule="sampled", diffusion_steps=10)
+        assert save_if_best(d, "t1n", 0.5, payload, None, **kw)
+        assert not save_if_best(
+            d, "t1n", float("nan"), payload, None, **kw
+        )
+        assert load_best_losses(d) == {"t1n": 0.5}
+        # poisoned ledger (legacy): a finite loss takes the slot back
+        from fast_cwdm_tpu.training.checkpoints import save_best_losses
+
+        save_best_losses(d, {"t1n": float("nan")})
+        assert save_if_best(d, "t1n", 0.9, payload, None, **kw)
+        assert load_best_losses(d) == {"t1n": 0.9}
+
     def test_roundtrip_preserves_tree(self, tmp_path, setup):
         _, _, _, params = setup
         p = str(tmp_path / "x.ckpt")
@@ -632,6 +655,57 @@ class TestPreemptionResume:
         assert other_model.name in files and other_opt.name in files
         assert best.name in files
 
+    def test_resume_from_checkpoint_without_ema_shadows(
+        self, setup, tmp_path, capsys
+    ):
+        """convert_checkpoint imports write ema_params=() while a training
+        run's template carries ema_rate shadows — flax from_bytes is
+        tuple-arity-strict, so the resume path must probe arities (like
+        common.load_params) and start missing shadows from the params."""
+        from fast_cwdm_tpu.utils import logger as flogger
+
+        flogger.configure()
+        from fast_cwdm_tpu.training import checkpoints as ckpt
+
+        _, _, _, params = setup
+        path = str(tmp_path / "brats_t1n_000007_sampled_10.ckpt")
+        ckpt.save_checkpoint(
+            path, {"params": params, "ema_params": (), "step": 7}
+        )
+        kw = self._loop_kwargs(
+            setup, tmp_path, resume_checkpoint=path
+        )
+        loop = self._resumed_state(setup, kw)
+        assert loop.resume_step == 7
+        assert len(loop.state.ema_params) == len(loop._ema_rates)
+        # missing shadows start from the loaded params
+        for a, b in zip(
+            jax.tree.leaves(loop.state.ema_params[0]),
+            jax.tree.leaves(params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        out = capsys.readouterr().out
+        assert "EMA shadow" in out, out
+
+    def test_final_anneal_step_offered_to_save_if_best(
+        self, setup, tmp_path, capsys
+    ):
+        """When lr_anneal_steps isn't a save-interval multiple, the final
+        weights must still get a best-save opportunity (the reference's
+        post-loop save, `train_util.py:311-313`)."""
+        from fast_cwdm_tpu.utils import logger as flogger
+
+        flogger.configure()
+        from fast_cwdm_tpu.training import checkpoints as ckpt
+
+        kw = self._loop_kwargs(
+            setup, tmp_path, lr_anneal_steps=3, save_interval=50
+        )
+        loop = TrainLoop(**kw)
+        loop.run_loop()
+        ckpt.wait_for_pending_saves()
+        assert ckpt.find_best_checkpoint(str(tmp_path), "t1n") is not None
+
     def test_missing_opt_blob_warns_fresh(self, setup, tmp_path, capsys):
         from fast_cwdm_tpu.utils import logger as flogger
 
@@ -645,6 +719,10 @@ class TestPreemptionResume:
         loop.save(step)
         ckpt.wait_for_pending_saves()
         os.remove(tmp_path / ckpt.opt_checkpoint_name("t1n", step))
+        # the end-of-anneal best-save writes an opt_best fallback — remove
+        # it too so the no-optimizer-state-at-all path is exercised
+        for p in tmp_path.glob("opt_best_t1n.*"):
+            os.remove(p)
         step_file = next(
             f for f in os.listdir(tmp_path)
             if parse_resume_step_from_filename(f) == step
