@@ -60,6 +60,15 @@ def save_best_losses(ckpt_dir: str, best: dict[str, float]) -> None:
 
 
 def _to_host(tree):
+    # Issue every device→host copy asynchronously FIRST so the transfers
+    # pipeline: a plain leaf-by-leaf ``np.asarray`` blocks on each array
+    # before starting the next, paying one full transfer round-trip per
+    # leaf (hundreds of leaves per checkpoint — pathological over a
+    # high-latency link, and still serialized on PCIe).
+    for leaf in jax.tree.leaves(tree):
+        copy_async = getattr(leaf, "copy_to_host_async", None)
+        if copy_async is not None:
+            copy_async()
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
