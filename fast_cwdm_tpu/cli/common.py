@@ -141,41 +141,10 @@ def load_params(path: str, model, *, use_ema: bool = False):
                 "using the raw parameters"
             )
         return loaded["params"]
-    # read the blob once so IO problems (missing file, permissions,
-    # truncation at the OS level) surface as themselves, not as a bogus
-    # "incompatible layout" error from the template probe below
-    with open(path, "rb") as f:
-        blob = f.read()
-    from flax import serialization
-
-    try:
-        from msgpack.exceptions import UnpackException
-    except ImportError:  # pragma: no cover
-        UnpackException = ValueError
-    deser_errors = (ValueError, TypeError, KeyError, IndexError, UnpackException)
-
-    template_params = param_template(model)
-    loaded = None
-    last_err: Exception | None = None
-    # checkpoints may carry 0..N EMA shadows; flax from_bytes is
-    # length-strict for tuples, so probe matching templates
-    for n_ema in (0, 1, 2, 3):
-        template = {
-            "params": template_params,
-            "ema_params": (template_params,) * n_ema,
-            "step": 0,
-        }
-        try:
-            loaded = serialization.from_bytes(template, blob)
-            break
-        except deser_errors as e:
-            last_err = e  # layout mismatch / corrupt msgpack — keep probing
-            continue
-    if loaded is None:
-        raise ValueError(
-            f"could not deserialize {path} with 0-3 EMA shadows — "
-            "incompatible checkpoint layout"
-        ) from last_err
+    # checkpoints may carry 0..N EMA shadows — shared probe with
+    # TrainLoop._apply_resume (checkpoints.load_with_ema_probe); IO
+    # problems (missing file, permissions) surface as themselves
+    loaded = ckpt.load_with_ema_probe(path, param_template(model))
     if use_ema:
         if loaded.get("ema_params"):
             return loaded["ema_params"][0]

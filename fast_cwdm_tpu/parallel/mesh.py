@@ -104,15 +104,30 @@ def setup_distributed() -> None:
         if "already" not in str(e).lower():
             raise
     except ValueError as e:
-        # markers looked multi-process but JAX's cluster detection could
-        # not resolve a coordinator — degrade LOUDLY to single-process
-        # (silent degradation would train independent unsynced replicas)
-        print(
-            "[setup_distributed] WARNING: managed-cluster markers present "
-            f"but jax.distributed auto-detection failed ({e}); continuing "
-            "single-process. Set JAX_COORDINATOR_ADDRESS / "
-            "JAX_NUM_PROCESSES / JAX_PROCESS_ID to launch manually."
-        )
+        # Markers looked multi-process but JAX's cluster detection could
+        # not resolve a coordinator. Degrading to single-process here
+        # would make EVERY process of the job believe it is rank 0 of 1:
+        # N independent unsynced replicas burning N× compute, all passing
+        # the rank-0 checkpoint gates and racing on the same .tmp files
+        # on a shared filesystem. Hard-fail instead; the escape hatch is
+        # explicit.
+        if os.environ.get("FAST_CWDM_ALLOW_SINGLE_PROCESS"):
+            print(
+                "[setup_distributed] WARNING: managed-cluster markers "
+                f"present but jax.distributed auto-detection failed ({e}); "
+                "FAST_CWDM_ALLOW_SINGLE_PROCESS is set — continuing "
+                "single-process."
+            )
+            return
+        raise RuntimeError(
+            "managed-cluster markers present (SLURM/OpenMPI/TPU pod) but "
+            f"jax.distributed auto-detection failed: {e}. Refusing to "
+            "degrade to single-process — every rank would train an "
+            "independent replica and race on shared checkpoint files. "
+            "Set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+            "JAX_PROCESS_ID to launch manually, or set "
+            "FAST_CWDM_ALLOW_SINGLE_PROCESS=1 to accept single-process."
+        ) from e
 
 
 def make_mesh(

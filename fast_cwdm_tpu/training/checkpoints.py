@@ -177,6 +177,62 @@ def load_checkpoint(path: str, template: dict[str, Any]) -> dict[str, Any]:
     return serialization.from_bytes(template, blob)
 
 
+def _deser_errors() -> tuple:
+    try:
+        from msgpack.exceptions import UnpackException
+    except ImportError:  # pragma: no cover
+        UnpackException = ValueError
+    return (ValueError, TypeError, KeyError, IndexError, UnpackException)
+
+
+def load_with_ema_probe(
+    path: str, params_template, prefer_arity: int | None = None
+) -> dict[str, Any]:
+    """Load a ``{params, ema_params, step}`` checkpoint whose EMA-shadow
+    count is unknown (a convert_checkpoint import carries 0 shadows; an
+    ema_rate change between runs shifts the tuple arity, and flax
+    ``from_bytes`` is tuple-length-strict): probe arities 0-3,
+    ``prefer_arity`` first. Single shared implementation for
+    ``TrainLoop._apply_resume`` and ``cli.common.load_params`` — the two
+    previously carried diverging copies (one missed msgpack's
+    UnpackException, so a truncated file surfaced as a raw ExtraData).
+
+    IO problems (missing file, permissions) surface as themselves, not as
+    a bogus "incompatible layout" error: the blob is read ONCE before the
+    template probes."""
+    _async_writer.wait()
+    from fast_cwdm_tpu.training import orbax_io
+
+    is_orbax = path.endswith(".orbax") or orbax_io.is_orbax_checkpoint(path)
+    blob = None
+    if not is_orbax:
+        with open(path, "rb") as f:
+            blob = f.read()
+
+    arities = list(range(4))
+    if prefer_arity is not None:
+        arities = [prefer_arity] + [n for n in arities if n != prefer_arity]
+    errors = _deser_errors()
+    last_err: Exception | None = None
+    for n_ema in arities:
+        template = {
+            "params": params_template,
+            "ema_params": (params_template,) * n_ema,
+            "step": 0,
+        }
+        try:
+            if is_orbax:
+                return orbax_io.load(path, template)
+            return serialization.from_bytes(template, blob)
+        except errors as e:
+            last_err = e  # layout mismatch / corrupt msgpack — keep probing
+            continue
+    raise ValueError(
+        f"could not deserialize {path} with 0-3 EMA shadows — "
+        "incompatible checkpoint layout"
+    ) from last_err
+
+
 def load_checkpoint_config(path: str) -> dict[str, Any] | None:
     side = path + ".json"
     if os.path.exists(side):
@@ -218,35 +274,53 @@ def step_checkpoint_name(
 
 
 def opt_checkpoint_name(
-    contr: str, step: int, dataset: str = "brats", ext: str | None = None
+    contr: str,
+    step: int,
+    sample_schedule: str,
+    diffusion_steps: int,
+    dataset: str = "brats",
+    ext: str | None = None,
 ) -> str:
     """Optimizer blob paired with a step-stamped checkpoint. The reference
     writes bare ``opt{step:06d}.pt`` (`train_util.py:505-513`) — but this
     framework's designed layout is ONE shared checkpoint_dir for all four
-    modalities (opt_best is contr-qualified, best_losses.txt holds every
-    modality), so an unqualified stem would collide across concurrently
-    trained runs and a resume could silently restore another modality's
-    Adam moments. Deviation: the stem carries dataset+contr; the bare
-    reference name is still recognized on load (`TrainLoop._apply_resume`)."""
+    modalities AND schedules (opt_best is contr-qualified, BEST names are
+    schedule-qualified), so an under-qualified stem would collide across
+    concurrently trained runs and a resume could silently restore another
+    run's Adam moments. Deviation: the stem carries dataset+contr+schedule
+    +steps, mirroring `step_checkpoint_name`; bare reference names and the
+    older contr-only stem are still recognized on load
+    (`TrainLoop._apply_resume`)."""
     ext = checkpoint_ext() if ext is None else ext
-    return f"opt_{dataset}_{contr}_{step:06d}{ext}"
+    return (
+        f"opt_{dataset}_{contr}_{step:06d}"
+        f"_{sample_schedule}_{diffusion_steps}{ext}"
+    )
 
 
 def prune_step_checkpoints(
-    ckpt_dir: str, contr: str, keep_step: int, dataset: str = "brats"
+    ckpt_dir: str,
+    contr: str,
+    keep_step: int,
+    sample_schedule: str,
+    diffusion_steps: int,
+    dataset: str = "brats",
 ) -> list[str]:
-    """Delete step-stamped model/optimizer blobs for this run that are
-    OLDER than ``keep_step`` (BEST checkpoints and other runs' files are
-    untouched). A preemption-save regime otherwise accumulates one full
-    model+Adam state (~1 GB at production size) per preemption, forever.
-    Returns the removed paths."""
+    """Delete step-stamped model/optimizer blobs for THIS run — same
+    dataset, contr, schedule, and step count — that are OLDER than
+    ``keep_step`` (BEST checkpoints and other runs' files are untouched,
+    including a same-modality run with a different schedule sharing the
+    checkpoint_dir). A preemption-save regime otherwise accumulates one
+    full model+Adam state (~1 GB at production size) per preemption,
+    forever. Returns the removed paths."""
     import shutil
 
     _async_writer.wait()
     removed: list[str] = []
+    run_tag = f"_{sample_schedule}_{diffusion_steps}"
     stems = [
-        os.path.join(ckpt_dir, f"{dataset}_{contr}_*"),
-        os.path.join(ckpt_dir, f"opt_{dataset}_{contr}_*"),
+        os.path.join(ckpt_dir, f"{dataset}_{contr}_*{run_tag}"),
+        os.path.join(ckpt_dir, f"opt_{dataset}_{contr}_*{run_tag}"),
     ]
     for stem in stems:
         for p in glob(stem + ".ckpt") + glob(stem + ".orbax"):

@@ -208,33 +208,12 @@ class TrainLoop:
         if not path:
             return
         # the checkpoint's EMA-shadow count may differ from this run's
-        # ema_rate config (a convert_checkpoint import carries 0 shadows;
-        # a rate change between runs shifts the tuple arity) and flax
-        # from_bytes is tuple-length-strict — probe arities like
-        # cli.common.load_params does, live arity first
+        # ema_rate config — shared probe with cli.common.load_params,
+        # live arity first
         live_ema = self.state.ema_params
-        arities = [len(live_ema)] + [
-            n for n in (0, 1, 2, 3) if n != len(live_ema)
-        ]
-        loaded = None
-        last_err: Exception | None = None
-        for n_ema in arities:
-            template = {
-                "params": self.state.params,
-                "ema_params": (self.state.params,) * n_ema,
-                "step": 0,
-            }
-            try:
-                loaded = ckpt.load_checkpoint(path, template)
-                break
-            except (ValueError, TypeError, KeyError, IndexError) as e:
-                last_err = e
-                continue
-        if loaded is None:
-            raise ValueError(
-                f"could not deserialize {path} with 0-3 EMA shadows — "
-                "incompatible checkpoint layout"
-            ) from last_err
+        loaded = ckpt.load_with_ema_probe(
+            path, self.state.params, prefer_arity=len(live_ema)
+        )
         got = tuple(loaded.get("ema_params") or ())
         if len(got) != len(live_ema):
             logger.log(
@@ -266,12 +245,22 @@ class TrainLoop:
         # a BEST checkpoint's matching state IS opt_best (written together)
         is_best = "_BEST_" in os.path.basename(path)
         if self.resume_step and not is_best:
-            # qualified stem first (this framework's save()), then the
-            # reference's bare opt{step:06d} for imported checkpoint dirs
+            # fully qualified stem first (this framework's save()), then
+            # the pre-schedule-qualification contr-only stem (older runs
+            # of this framework), then the reference's bare opt{step:06d}
+            # for imported checkpoint dirs
             stems.append(
                 ckpt.opt_checkpoint_name(
-                    self.contr, self.resume_step, self.dataset, ext=""
+                    self.contr,
+                    self.resume_step,
+                    self.sample_schedule,
+                    self.diffusion_steps,
+                    self.dataset,
+                    ext="",
                 )
+            )
+            stems.append(
+                f"opt_{self.dataset}_{self.contr}_{self.resume_step:06d}"
             )
             stems.append(f"opt{self.resume_step:06d}")
         stems.append(f"opt_best_{self.contr}")
@@ -349,18 +338,41 @@ class TrainLoop:
 
         preempted = []
         prev_handler = None
+        installed = False  # signal.signal may legitimately RETURN None
         try:
             prev_handler = signal.signal(
                 signal.SIGTERM,
                 lambda signum, frame: preempted.append(signum),
             )
+            installed = True
         except ValueError:  # not the main thread — run unguarded
             pass
         try:
             return self._run_loop(preempted)
         finally:
-            if prev_handler is not None:
-                signal.signal(signal.SIGTERM, prev_handler)
+            if installed:
+                # restore even when the previous disposition was None (a
+                # handler installed from C): leaving OUR handler in place
+                # would silently swallow every later SIGTERM
+                signal.signal(signal.SIGTERM, prev_handler or signal.SIG_DFL)
+
+    @staticmethod
+    def _preempt_agreed(preempted) -> bool:
+        """Cross-process agreement on the preemption flag. SIGTERM delivery
+        is asynchronous and per-process: without agreement, a signaled rank
+        exits while the others hang forever in the next gradient psum — and
+        if only a non-rank-0 rank is signaled, the rank-0-gated `save()`
+        writes NOTHING before that rank dies. One tiny allgather per step
+        makes every rank exit (and rank 0 save) at the same step boundary,
+        whichever subset of ranks the scheduler signaled."""
+        if jax.process_count() == 1:
+            return bool(preempted)
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(bool(preempted))
+        )
+        return bool(np.any(flags))
 
     def _run_loop(self, preempted) -> TrainState:
         data_iter = _infinite(self.data_factory)
@@ -404,11 +416,16 @@ class TrainLoop:
             # sample) ride along ONLY on image-log steps; save-only and
             # odd log windows fetch just the scalar/vector metrics.
             m = None
+            # image panels go every other log window (`train_util.py:
+            # 226-284` logs every 200 steps); the SAME predicate decides
+            # what the fetch includes and whether the log block renders
+            # panels — keep them in lockstep or the log block KeyErrors
+            image_step = step % (2 * self.log_interval) == 0
             if (
                 step % self.log_interval == 0
                 or step % self.save_interval == 0
             ):
-                if step % (2 * self.log_interval) == 0:
+                if image_step:
                     want = dict(last_metrics)
                     # the source-modality mid-planes ride in the SAME
                     # fetch: on multi-host each fetch is a separate
@@ -468,10 +485,9 @@ class TrainLoop:
                     quartile = int(4 * int(ti) / T)
                     logger.logkv_mean(f"loss_q{quartile}", float(ls))
                 logger.dumpkvs()
-                # image panels every other log window (`train_util.py:
-                # 226-284` logs every 200 steps): x0 mid-plane, the 8
-                # predicted subband mid-planes, and the source modalities
-                if step % (2 * self.log_interval) == 0:
+                # x0 mid-plane, the 8 predicted subband mid-planes, and
+                # the source modalities (fetched above iff image_step)
+                if image_step:
                     from fast_cwdm_tpu.utils import visualize
 
                     imgs = {"sample/x_0": visualize(m["sample_slice"][0])}
@@ -503,7 +519,7 @@ class TrainLoop:
                     ckpt.wait_for_pending_saves()
                     return self.state
 
-            if preempted:
+            if self._preempt_agreed(preempted):
                 logger.log(
                     f"SIGTERM at step {step}: writing preemption "
                     "checkpoint and exiting"
@@ -598,11 +614,22 @@ class TrainLoop:
         ckpt.save_checkpoint(
             os.path.join(
                 self.checkpoint_dir,
-                ckpt.opt_checkpoint_name(self.contr, step, self.dataset),
+                ckpt.opt_checkpoint_name(
+                    self.contr,
+                    step,
+                    self.sample_schedule,
+                    self.diffusion_steps,
+                    self.dataset,
+                ),
             ),
             {"opt_state": self.state.opt_state},
         )
         if prune_previous:
             ckpt.prune_step_checkpoints(
-                self.checkpoint_dir, self.contr, step, self.dataset
+                self.checkpoint_dir,
+                self.contr,
+                step,
+                self.sample_schedule,
+                self.diffusion_steps,
+                self.dataset,
             )

@@ -128,6 +128,7 @@ class TestSetupDistributedEnvRouting:
         "JAX_NUM_PROCESSES", "JAX_PROCESS_ID",
         "SLURM_NTASKS", "OMPI_MCA_orte_hnp_uri",
         "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+        "FAST_CWDM_ALLOW_SINGLE_PROCESS",
     )
 
     @pytest.fixture()
@@ -185,6 +186,24 @@ class TestSetupDistributedEnvRouting:
         setup, calls, _ = clean
         setup()
         assert not calls
+
+    def test_failed_autodetect_under_managed_markers_is_fatal(self, clean):
+        # SLURM markers present but JAX's cluster detection can't resolve
+        # a coordinator: degrading would make EVERY rank believe it is
+        # rank 0 of 1 (N unsynced replicas racing on shared checkpoint
+        # files) — must hard-fail unless explicitly allowed
+        setup, calls, mp = clean
+        mp.setenv("SLURM_NTASKS", "4")
+        mp.setattr(
+            jax.distributed, "initialize",
+            lambda *a, **kw: (_ for _ in ()).throw(
+                ValueError("could not detect cluster")
+            ),
+        )
+        with pytest.raises(RuntimeError, match="Refusing to degrade"):
+            setup()
+        mp.setenv("FAST_CWDM_ALLOW_SINGLE_PROCESS", "1")
+        setup()  # explicit opt-out continues single-process
 
 
 def test_dryrun_multichip_entrypoint():

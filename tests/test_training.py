@@ -565,7 +565,7 @@ class TestPreemptionResume:
         files = os.listdir(tmp_path)
         # the opt stem is dataset/contr-qualified: modality runs share one
         # checkpoint_dir, a bare opt{step} would collide across them
-        assert ckpt.opt_checkpoint_name("t1n", step) in files, files
+        assert ckpt.opt_checkpoint_name("t1n", step, "sampled", 10) in files, files
         step_file = next(
             f for f in files
             if parse_resume_step_from_filename(f) == step
@@ -602,8 +602,46 @@ class TestPreemptionResume:
         loop.save(step)
         ckpt.wait_for_pending_saves()
         os.rename(
-            tmp_path / ckpt.opt_checkpoint_name("t1n", step),
+            tmp_path / ckpt.opt_checkpoint_name("t1n", step, "sampled", 10),
             tmp_path / f"opt{step:06d}.ckpt",
+        )
+        step_file = next(
+            f for f in os.listdir(tmp_path)
+            if parse_resume_step_from_filename(f) == step
+            and not f.startswith("opt") and f.endswith(".ckpt")
+        )
+        loop2 = self._resumed_state(
+            setup, {**kw, "resume_checkpoint": str(tmp_path / step_file)}
+        )
+        out = capsys.readouterr().out
+        assert "WARNING" not in out, out
+        for a, b in zip(
+            jax.tree.leaves(loop2.state.opt_state),
+            jax.tree.leaves(state.opt_state),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_pre_schedule_qualification_opt_stem_still_resumes(
+        self, setup, tmp_path, capsys
+    ):
+        """Checkpoint dirs written before the opt stem gained the
+        schedule/steps qualifier pair the step checkpoint with
+        ``opt_{dataset}_{contr}_{step:06d}`` — the resume search must
+        still find those."""
+        from fast_cwdm_tpu.utils import logger as flogger
+
+        flogger.configure()
+        from fast_cwdm_tpu.training import checkpoints as ckpt
+
+        kw = self._loop_kwargs(setup, tmp_path)
+        loop = TrainLoop(**kw)
+        state = loop.run_loop()
+        step = int(state.step)
+        loop.save(step)
+        ckpt.wait_for_pending_saves()
+        os.rename(
+            tmp_path / ckpt.opt_checkpoint_name("t1n", step, "sampled", 10),
+            tmp_path / f"opt_brats_t1n_{step:06d}.ckpt",
         )
         step_file = next(
             f for f in os.listdir(tmp_path)
@@ -638,22 +676,31 @@ class TestPreemptionResume:
             jax.tree.map(np.asarray, setup[2])
         )
         other_model = tmp_path / "brats_t2w_000001_sampled_10.ckpt"
-        other_opt = tmp_path / ckpt.opt_checkpoint_name("t2w", 1)
+        other_opt = tmp_path / ckpt.opt_checkpoint_name("t2w", 1, "sampled", 10)
         best = tmp_path / "brats_t1n_BEST_sampled_10.ckpt"
-        for p in (other_model, other_opt, best):
+        # SAME modality, DIFFERENT schedule sharing the checkpoint_dir (a
+        # layout the schedule-qualified BEST names explicitly permit): its
+        # step-stamped pair must survive this run's prune even at an older
+        # step
+        other_sched_model = tmp_path / "brats_t1n_000001_direct_1000.ckpt"
+        other_sched_opt = tmp_path / ckpt.opt_checkpoint_name(
+            "t1n", 1, "direct", 1000
+        )
+        sentinels = (
+            other_model, other_opt, best, other_sched_model, other_sched_opt
+        )
+        for p in sentinels:
             p.write_bytes(b"sentinel")
         loop.save(1)
         loop.save(2)
         ckpt.wait_for_pending_saves()
         files = set(os.listdir(tmp_path))
-        assert ckpt.opt_checkpoint_name("t1n", 2) in files
-        assert ckpt.opt_checkpoint_name("t1n", 1) not in files
-        assert not any(
-            f.startswith("brats_t1n_000001") for f in files
-        ), files
+        assert ckpt.opt_checkpoint_name("t1n", 2, "sampled", 10) in files
+        assert ckpt.opt_checkpoint_name("t1n", 1, "sampled", 10) not in files
+        assert "brats_t1n_000001_sampled_10.ckpt" not in files, files
         # other runs + BEST regime untouched
-        assert other_model.name in files and other_opt.name in files
-        assert best.name in files
+        for p in sentinels:
+            assert p.name in files, (p.name, files)
 
     def test_resume_from_checkpoint_without_ema_shadows(
         self, setup, tmp_path, capsys
@@ -718,7 +765,7 @@ class TestPreemptionResume:
         step = int(state.step)
         loop.save(step)
         ckpt.wait_for_pending_saves()
-        os.remove(tmp_path / ckpt.opt_checkpoint_name("t1n", step))
+        os.remove(tmp_path / ckpt.opt_checkpoint_name("t1n", step, "sampled", 10))
         # the end-of-anneal best-save writes an opt_best fallback — remove
         # it too so the no-optimizer-state-at-all path is exercised
         for p in tmp_path.glob("opt_best_t1n.*"):
