@@ -318,6 +318,28 @@ class TestOrbaxBackend:
         np.testing.assert_array_equal(np.asarray(out["params"]["w"]), x)
         assert int(out["step"]) == 1
 
+    def test_ema_probe_finds_arity_on_orbax(self, tmp_path, setup):
+        """`load_with_ema_probe` must probe EMA-shadow arities on the
+        orbax backend too (resume from an orbax checkpoint written under
+        a different ema_rate config), and a wrong `prefer_arity` must
+        fall through to the stored one rather than erroring."""
+        from fast_cwdm_tpu.training import checkpoints as ckpt, orbax_io
+
+        if not orbax_io.available():
+            pytest.skip("orbax not installed")
+        _, _, _, params = setup
+        p = str(tmp_path / "ema1.orbax")
+        orbax_io.save(
+            p, {"params": params, "ema_params": (params,), "step": 7}
+        )
+        loaded = ckpt.load_with_ema_probe(p, params, prefer_arity=2)
+        assert len(loaded["ema_params"]) == 1
+        assert int(loaded["step"]) == 7
+        for a, b in zip(
+            jax.tree.leaves(loaded["ema_params"][0]), jax.tree.leaves(params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestImagePanels:
     def test_panel_keys_match_reference(self, tmp_path, setup, monkeypatch):
