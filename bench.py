@@ -88,6 +88,10 @@ def main():
                          "the framework's bf16 fused step")
     ap.add_argument("--skip-baseline", action="store_true",
                     help="alias for --baseline=none")
+    ap.add_argument("--dpm", type=int, default=0, metavar="N",
+                    help="also time the DPM-Solver++(2M) sampler at N model "
+                         "evaluations (opt-in: a fresh ~10-min compile on a "
+                         "cold cache; records dpm_s_per_volume in detail)")
     args = ap.parse_args()
     if args.skip_baseline:
         args.baseline = "none"
@@ -194,6 +198,29 @@ def main():
             leg_times.append(time.perf_counter() - t0)
         return min(leg_times)
 
+    # ------------- optional DPM-Solver++ leg (beyond-reference) ----------
+    dpm_s = None
+    if args.dpm:
+        @jax.jit
+        def sample_dpm(params, noise, cond, key):
+            def model_fn(x, t):
+                return model.apply({"params": params}, x, t)
+
+            return diffusion.dpm_solver_pp_loop(
+                model_fn, lat, key, cond=cond, noise=noise, steps=args.dpm
+            )
+
+        force(sample_dpm(params, noise, cond, k_loop))  # compile
+        dpm_times = []
+        for i in range(args.repeats):
+            t0 = time.perf_counter()
+            out = sample_dpm(
+                params, noise, cond, jax.random.fold_in(k_loop, 50 + i)
+            )
+            force(out)
+            dpm_times.append(time.perf_counter() - t0)
+        dpm_s = min(dpm_times)
+
     refstyle_s = faithful_s = None
     if args.baseline in ("refstyle", "both"):
         refstyle_s = run_per_step(model, diffusion)
@@ -224,6 +251,8 @@ def main():
             "faithful_s_per_volume": (
                 round(faithful_s / b, 3) if faithful_s else None
             ),
+            "dpm_s_per_volume": round(dpm_s / b, 3) if dpm_s else None,
+            "dpm_steps": args.dpm or None,
             "device": str(jax.devices()[0]),
             "baseline_mode": (
                 "faithful: reference execution shape (fp32, full-spatial "

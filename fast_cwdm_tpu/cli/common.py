@@ -186,6 +186,8 @@ def load_best_synthesis(
     mesh=None,
     tag: str = "synth",
     clip_denoised: bool = True,
+    sampler: str = "ddpm",
+    sampler_steps: int | None = None,
 ):
     """Discover the BEST checkpoint for ``contr`` and build its jitted
     synthesis fn: find → merge the checkpoint's stored config → construct
@@ -228,18 +230,20 @@ def load_best_synthesis(
     model, diffusion = build_model_and_diffusion(cfg)
     params = load_params(path, model, use_ema=use_ema)
     fn = make_synthesis_fn(
-        model, params, diffusion, mesh=mesh, clip_denoised=clip_denoised
+        model, params, diffusion, mesh=mesh, clip_denoised=clip_denoised,
+        sampler=sampler, sampler_steps=sampler_steps,
     )
     print(
         f"[{tag}] {contr}: {os.path.basename(path)} "
-        f"({schedule}, {steps} steps)"
+        f"({schedule}, {steps} steps, sampler={sampler})"
     )
     return fn
 
 
 def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
                       mesh=None, chunk: int | str | None = "auto",
-                      sampler: str = "ddpm", clip_denoised: bool = True):
+                      sampler: str = "ddpm", sampler_steps: int | None = None,
+                      clip_denoised: bool = True):
     """One jitted program: scan the full reverse chain, IDWT, clamp [0,1],
     zero non-brain voxels via the first condition volume
     (`scripts/sample.py:104-125`).
@@ -261,8 +265,10 @@ def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
     # params stay jit ARGS in the chunked path too (a closure would embed
     # them as HLO constants), and the chunk loop runs on the host so each
     # segment is its own device program.
-    if sampler not in ("ddpm", "ddim"):
-        raise ValueError(f"sampler must be ddpm or ddim, got {sampler!r}")
+    if sampler not in ("ddpm", "ddim", "dpm++"):
+        raise ValueError(
+            f"sampler must be ddpm, ddim or dpm++, got {sampler!r}"
+        )
     if chunk == "auto":
         # BOTH samplers chunk long chains: without a respacing, a DDIM run
         # still walks all num_timesteps steps, and a monolithic >200-step
@@ -275,7 +281,26 @@ def make_synthesis_fn(model, params, diffusion, *, crop_z: int = 155,
         img = jnp.clip(img, 0.0, 1.0)
         return jnp.where(mask_vol == 0, 0.0, img)
 
-    if chunk is None:
+    if sampler == "dpm++":
+        # DPM-Solver++ walks its OWN subsampled index schedule
+        # (``sampler_steps`` model evaluations spread over the full
+        # process) — short chains by construction, never chunked
+        steps = sampler_steps or min(50, diffusion.num_timesteps)
+
+        @jax.jit
+        def synth(params, cond, mask_vol, key):
+            def model_fn(x, t):
+                return model.apply({"params": params}, x, t)
+
+            b = cond.shape[0]
+            shape = (b, *cond.shape[1:-1], diffusion.target_channels)
+            sample = diffusion.dpm_solver_pp_loop(
+                model_fn, shape, key, cond=cond, steps=steps,
+                clip_denoised=clip_denoised,
+            )
+            return postprocess(sample, mask_vol)
+
+    elif chunk is None:
 
         @jax.jit
         def synth(params, cond, mask_vol, key):

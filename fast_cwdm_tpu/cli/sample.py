@@ -46,6 +46,7 @@ def create_argparser() -> argparse.ArgumentParser:
         concat_coords=False,
         contr="",
         use_ema=False,
+        sampler="",  # "" → honor --use_ddim; or ddpm | ddim | dpm++
     )
     md = model_and_diffusion_defaults()
     defaults.update({k: v for k, v in md.items() if k not in defaults})
@@ -85,13 +86,20 @@ def main(argv=None) -> None:
         {k: v for k, v in stored.items() if k in cfg and k != "dtype"}
     )
     cfg["mode"] = "i2i"
-    if args.use_ddim and args.sampling_steps:
+    sampler = args.sampler or ("ddim" if args.use_ddim else "ddpm")
+    # DDIM shortens the chain by RESPACING the process; DPM-Solver++
+    # subsamples its own index schedule, so --sampling_steps routes to the
+    # solver instead and the process stays unspaced
+    if sampler == "ddim" and args.sampling_steps:
         cfg["timestep_respacing"] = f"ddim{args.sampling_steps}"
     model, diffusion = common.build_model_and_diffusion(cfg)
     params = common.load_params(args.model_path, model, use_ema=args.use_ema)
     synth = common.make_synthesis_fn(
         model, params, diffusion,
-        sampler="ddim" if args.use_ddim else "ddpm",
+        sampler=sampler,
+        sampler_steps=(
+            args.sampling_steps or None if sampler == "dpm++" else None
+        ),
         clip_denoised=args.clip_denoised,
     )
 

@@ -41,6 +41,8 @@ def create_argparser() -> argparse.ArgumentParser:
         threshold=0.04,
         use_ema=False,
         dataset="brats",
+        sampler="ddpm",  # ddpm | ddim | dpm++ (DPM-Solver++(2M))
+        sampling_steps=0,  # dpm++ model evals; 0 → min(50, T)
     )
     md = model_and_diffusion_defaults()
     defaults.update({k: v for k, v in md.items() if k not in defaults})
@@ -88,6 +90,8 @@ def main(argv=None) -> None:
                 use_ema=args.use_ema,
                 tag="auto",
                 clip_denoised=args.clip_denoised,
+                sampler=args.sampler,
+                sampler_steps=args.sampling_steps or None,
             )
         return synth_cache[contr]
 

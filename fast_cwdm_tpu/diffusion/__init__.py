@@ -6,6 +6,10 @@ from fast_cwdm_tpu.diffusion.gaussian import (  # noqa: F401
     VarType,
     condition_order,
 )
+from fast_cwdm_tpu.diffusion.dpm import (  # noqa: F401
+    dpm_solver_pp_loop,
+    dpm_timestep_indices,
+)
 from fast_cwdm_tpu.diffusion.resample import (  # noqa: F401
     LossSecondMomentResampler,
     UniformSampler,

@@ -1,0 +1,164 @@
+"""DPM-Solver++ multistep sampling (beyond-reference capability).
+
+The reference's fastest sampler is DDIM (`/root/reference/guided_diffusion/
+gaussian_diffusion.py:727-835`), a first-order integrator of the probability
+-flow ODE. DPM-Solver++ (Lu et al. 2022, arXiv:2211.01095) integrates the
+same ODE in log-SNR time with the *data-prediction* parameterisation — an
+exact fit here, because the cWDM model predicts x0 directly
+(``MeanType.START_X``, run.sh passes ``--predict_xstart=True``) and the
+solver's D(x,t) term is literally the network output after the framework's
+clamp/Haar projection (``_process_xstart``). The second-order multistep
+variant (2M) reuses the previous step's x0 prediction instead of a second
+model call, so N model evaluations buy a second-order chain: in practice
+~4x fewer steps than DDIM at matched sample quality.
+
+TPU shape: all solver coefficients (log-SNR lambdas, sigma ratios,
+``expm1`` terms, 2M mixing weights) are precomputed on the HOST in float64
+from the diffusion's host-numpy ``alphas_cumprod`` table and embedded as
+small constants; the chain itself is ONE ``lax.scan`` whose carry is
+``(x, prev_x0)`` — no data-dependent control flow, one compiled program for
+the whole trajectory (same design as ``GaussianDiffusion.scan_steps``).
+
+First-order equivalence: with ``order=1`` each transition is algebraically
+identical to a DDIM (eta=0) step over the same timestep subsequence
+(tested in tests/test_dpm.py against ``SpacedDiffusion.ddim_sample_loop``),
+so the solver is a strict generalisation of the reference's DDIM surface.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dpm_timestep_indices(num_timesteps: int, steps: int) -> np.ndarray:
+    """Descending schedule indices T-1 → 0, evenly spaced in index space
+    (the discrete grid the model was trained on). Uses the same
+    round-of-linspace rule as the Fast-DDPM "sampled" schedule
+    (`gaussian_diffusion.py:45-58` picks training indices the same way),
+    so a 10-step solve visits the alpha-bar curve where the schedule was
+    anchored."""
+    if not 2 <= steps <= num_timesteps:
+        raise ValueError(
+            f"steps must be in [2, {num_timesteps}], got {steps}"
+        )
+    idx = np.unique(
+        np.round(np.linspace(0, num_timesteps - 1, steps)).astype(np.int64)
+    )[::-1]
+    if len(idx) != steps:  # rounding collision — only possible steps≈T
+        idx = np.arange(num_timesteps - 1, -1, -1)[:steps]
+    return np.ascontiguousarray(idx)
+
+
+def _solver_tables(alphas_cumprod: np.ndarray, idx: np.ndarray, order: int):
+    """Host-side per-transition coefficients for the 2M chain.
+
+    Points are the ``len(idx)`` schedule indices plus one virtual terminal
+    point with alpha-bar = 1 (lambda → +inf): the final transition then
+    degenerates to ``x = x0_prediction`` exactly as DDIM's last step does
+    (``alphas_cumprod_prev[0] == 1``). Transition j runs point j → j+1:
+
+      x_{j+1} = (sigma_{j+1}/sigma_j) * x_j
+                - alpha_{j+1} * expm1(-h_{j+1}) * D~_j
+      D~_j    = (1 + c_j) * D_j - c_j * D_{j-1},   c_j = h_{j+1} / (2 h_j)
+
+    with alpha = sqrt(alpha-bar), sigma = sqrt(1 - alpha-bar),
+    h = delta(lambda), lambda = log(alpha/sigma); ``c_j`` is the paper's
+    ``1/(2 r_j)`` with ``r_j = h_j/h_{j+1}`` the PREVIOUS step over the
+    CURRENT one (Lu et al. 2022, Algorithm 2). ``c_j`` is zeroed at the
+    first transition (no history yet), at the last (lower-order-final —
+    standard 2M practice, and exact: the terminal point's h is infinite),
+    and everywhere when ``order == 1``.
+    """
+    ab = np.asarray(alphas_cumprod, dtype=np.float64)[idx]
+    alpha = np.sqrt(ab)
+    sigma = np.sqrt(1.0 - ab)
+    lam = np.log(alpha) - np.log(sigma)
+    n = len(idx)
+
+    sigma_ratio = np.zeros(n)
+    acoef = np.zeros(n)
+    mix = np.zeros(n)
+    h = np.diff(lam)  # h[j] = lambda_{j+1} - lambda_j > 0 (noise decreases)
+    if np.any(h <= 0):
+        raise ValueError(
+            "alpha-bar must be strictly increasing along the solver path; "
+            "schedule has a non-monotone segment at the chosen indices"
+        )
+    sigma_ratio[: n - 1] = sigma[1:] / sigma[:-1]
+    acoef[: n - 1] = alpha[1:] * np.expm1(-h)
+    # terminal transition: alpha=1, sigma=0, h=inf → expm1(-inf) = -1
+    sigma_ratio[n - 1] = 0.0
+    acoef[n - 1] = -1.0
+    if order == 2:
+        # transition j uses step h[j]; the 2M weight is h_cur/(2 h_prev)
+        mix[1 : n - 1] = h[1:] / (2.0 * h[:-1])
+    elif order != 1:
+        raise ValueError(f"order must be 1 or 2, got {order}")
+    f32 = lambda a: np.asarray(a, dtype=np.float32)  # noqa: E731
+    return f32(sigma_ratio), f32(acoef), f32(mix)
+
+
+def dpm_solver_pp_loop(
+    diffusion,
+    model_fn,
+    shape,
+    key,
+    *,
+    cond=None,
+    noise=None,
+    steps: int = 50,
+    order: int = 2,
+    clip_denoised: bool = True,
+    denoised_fn=None,
+    cond_fn=None,
+    model_kwargs=None,
+) -> jax.Array:
+    """Sample via DPM-Solver++ multistep: ``steps`` model evaluations, one
+    ``lax.scan``. Deterministic given ``noise`` (``key`` only draws the
+    initial latent). Works on plain and ``SpacedDiffusion`` processes —
+    x0 prediction goes through ``p_mean_variance`` so i2i conditioning,
+    learned-variance output splitting, clamp/Haar projection and
+    ``cond_fn`` guidance all behave exactly as in the DDPM/DDIM loops."""
+    idx = dpm_timestep_indices(diffusion.num_timesteps, steps)
+    sigma_ratio, acoef, mix = _solver_tables(
+        diffusion.alphas_cumprod, idx, order
+    )
+
+    img = (
+        noise
+        if noise is not None
+        else jax.random.normal(key, tuple(shape), dtype=jnp.float32)
+    )
+
+    def step(carry, inp):
+        x, prev_x0 = carry
+        t_scalar, s_ratio, a_c, c = inp
+        t = jnp.full((x.shape[0],), t_scalar, dtype=jnp.int32)
+        out = diffusion.p_mean_variance(
+            model_fn,
+            x,
+            t,
+            cond=cond,
+            clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+            model_kwargs=model_kwargs,
+        )
+        if cond_fn is not None:
+            out = diffusion.condition_score(
+                cond_fn, out, x, t, model_kwargs=model_kwargs
+            )
+        x0 = out["pred_xstart"]
+        x0_tilde = (1.0 + c) * x0 - c * prev_x0
+        x_next = s_ratio * x - a_c * x0_tilde
+        return (x_next, x0), None
+
+    inputs = (
+        jnp.asarray(idx, dtype=jnp.int32),
+        jnp.asarray(sigma_ratio),
+        jnp.asarray(acoef),
+        jnp.asarray(mix),
+    )
+    (final, _), _ = jax.lax.scan(step, (img, jnp.zeros_like(img)), inputs)
+    return final

@@ -1000,6 +1000,15 @@ class GaussianDiffusion:
             yield out
             img = out["sample"]
 
+    def dpm_solver_pp_loop(self, model_fn, shape, key, **kwargs) -> jax.Array:
+        """DPM-Solver++ multistep sampling — second-order ODE solver in the
+        x0-prediction parameterisation; ~4x fewer model evaluations than
+        DDIM at matched quality (beyond-reference capability, see
+        :mod:`fast_cwdm_tpu.diffusion.dpm`)."""
+        from fast_cwdm_tpu.diffusion.dpm import dpm_solver_pp_loop
+
+        return dpm_solver_pp_loop(self, model_fn, shape, key, **kwargs)
+
     # ------------------------------------------------------------------
     # Training losses
     # ------------------------------------------------------------------

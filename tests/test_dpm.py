@@ -1,0 +1,169 @@
+"""DPM-Solver++ multistep sampler tests.
+
+The solver is a beyond-reference capability (the reference tops out at
+DDIM, `gaussian_diffusion.py:727-835`); its correctness anchors are
+mathematical rather than golden-trace:
+
+- order=1 over the full index set is algebraically a DDIM (eta=0) chain —
+  the two loops must agree to float tolerance;
+- order=1 over a SUBSAMPLED index set must match the reference's own
+  step-reduction mechanism (``SpacedDiffusion`` + DDIM) on the same
+  retained timesteps;
+- order=2 (2M) must integrate the probability-flow ODE more accurately
+  than order=1 at equal model-evaluation budget.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_cwdm_tpu.diffusion import (
+    GaussianDiffusion,
+    create_spaced_diffusion,
+    dpm_timestep_indices,
+)
+from fast_cwdm_tpu.diffusion.schedules import get_named_beta_schedule
+
+SHAPE = (2, 4, 4, 4, 8)
+
+
+def smooth_model(x, t, **kwargs):
+    """Deterministic smooth x0-predictor (START_X output): enough
+    nonlinearity in x and t for the second-order correction to matter."""
+    tt = jnp.asarray(t, jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+    return jnp.tanh(0.7 * x[..., :8] + 0.05 * tt) * 0.8
+
+
+def test_timestep_indices():
+    idx = dpm_timestep_indices(1000, 10)
+    assert idx[0] == 999 and idx[-1] == 0 and len(idx) == 10
+    assert (np.diff(idx) < 0).all()
+    idx = dpm_timestep_indices(10, 10)
+    np.testing.assert_array_equal(idx, np.arange(9, -1, -1))
+    with pytest.raises(ValueError):
+        dpm_timestep_indices(10, 11)
+    with pytest.raises(ValueError):
+        dpm_timestep_indices(10, 1)
+
+
+def test_order1_full_chain_equals_ddim():
+    d = GaussianDiffusion.named("linear", 10, "sampled")
+    noise = jax.random.normal(jax.random.PRNGKey(3), SHAPE, jnp.float32)
+    ddim = d.ddim_sample_loop(
+        smooth_model, SHAPE, jax.random.PRNGKey(0), noise=noise, eta=0.0
+    )
+    dpm1 = d.dpm_solver_pp_loop(
+        smooth_model, SHAPE, jax.random.PRNGKey(0), noise=noise,
+        steps=10, order=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dpm1), np.asarray(ddim), rtol=0, atol=5e-5
+    )
+
+
+def test_order1_subsampled_equals_spaced_ddim():
+    betas = get_named_beta_schedule("linear", 20, "sampled")
+    base = GaussianDiffusion.create(betas)
+    idx = dpm_timestep_indices(20, 6)
+    spaced = create_spaced_diffusion(
+        use_timesteps=set(int(i) for i in idx), betas=betas
+    )
+    noise = jax.random.normal(jax.random.PRNGKey(7), SHAPE, jnp.float32)
+    # the spaced process walks its compact 6 steps; scale_timesteps maps
+    # them back to the original indices before the model sees them — the
+    # same values the solver passes directly
+    ddim = spaced.ddim_sample_loop(
+        smooth_model, SHAPE, jax.random.PRNGKey(0), noise=noise, eta=0.0
+    )
+    dpm1 = base.dpm_solver_pp_loop(
+        smooth_model, SHAPE, jax.random.PRNGKey(0), noise=noise,
+        steps=6, order=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dpm1), np.asarray(ddim), rtol=0, atol=5e-5
+    )
+
+
+def test_2m_more_accurate_than_order1():
+    d = GaussianDiffusion.named("linear", 200, "sampled")
+    noise = jax.random.normal(jax.random.PRNGKey(11), SHAPE, jnp.float32)
+
+    def solve(steps, order):
+        return np.asarray(
+            d.dpm_solver_pp_loop(
+                smooth_model, SHAPE, jax.random.PRNGKey(0), noise=noise,
+                steps=steps, order=order, clip_denoised=False,
+            )
+        )
+
+    truth = solve(200, 2)  # fully-resolved chain = ODE reference
+    err1 = np.abs(solve(20, 1) - truth).mean()
+    err2 = np.abs(solve(20, 2) - truth).mean()
+    assert np.isfinite(err1) and np.isfinite(err2)
+    # second order at the same 20-evaluation budget must be strictly more
+    # accurate — and by a real margin, not float fuzz (measured ~3x;
+    # at 40 evals the gap grows to ~11x, second-order convergence)
+    assert err2 < 0.5 * err1, (err1, err2)
+    # and refining the second-order grid keeps converging
+    err2_40 = np.abs(solve(40, 2) - truth).mean()
+    assert err2_40 < 0.5 * err2, (err2, err2_40)
+
+
+def test_i2i_conditioned_loop_shapes():
+    d = GaussianDiffusion.named("linear", 10, "sampled", mode="i2i")
+    cond = jax.random.normal(
+        jax.random.PRNGKey(1), (1, 4, 4, 4, 24), jnp.float32
+    )
+
+    def model_fn(x_in, t, **kw):
+        assert x_in.shape[-1] == 32  # 8 target + 24 condition channels
+        return jnp.tanh(x_in[..., :8])
+
+    out = d.dpm_solver_pp_loop(
+        model_fn, (1, 4, 4, 4, 8), jax.random.PRNGKey(0), cond=cond, steps=5
+    )
+    assert out.shape == (1, 4, 4, 4, 8)
+    assert np.isfinite(np.asarray(out)).all()
+    # clip_denoised=True + terminal x0 projection bound the output
+    assert np.abs(np.asarray(out)).max() <= 1.0 + 1e-6
+
+
+def test_synthesis_fn_dpm_matches_contract():
+    """make_synthesis_fn(sampler='dpm++') runs the full postprocess chain
+    (IDWT → clip [0,1] → mask) on a tiny i2i UNet."""
+    from fast_cwdm_tpu.cli import common
+    from fast_cwdm_tpu.models import UNetModel
+
+    model = UNetModel(
+        image_size=8,
+        in_channels=32,
+        model_channels=16,
+        out_channels=8,
+        num_res_blocks=1,
+        attention_resolutions=(),
+        channel_mult=(1, 2),
+        dims=3,
+        num_groups=8,
+        resblock_updown=True,
+        bottleneck_attention=False,
+        resample_2d=False,
+    )
+    d = GaussianDiffusion.named("linear", 10, "sampled", mode="i2i")
+    cond = jnp.asarray(
+        np.random.default_rng(0).random((1, 4, 4, 4, 24)), jnp.float32
+    )
+    x = jnp.concatenate([jnp.zeros((1, 4, 4, 4, 8)), cond], axis=-1)
+    params = model.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32)
+    )["params"]
+    mask = np.ones((1, 8, 8, 8), np.float32)
+    mask[:, :2] = 0.0
+    fn = common.make_synthesis_fn(
+        model, params, d, crop_z=8, sampler="dpm++", sampler_steps=4
+    )
+    img = fn(np.asarray(cond), mask[..., None], jax.random.PRNGKey(5))
+    assert img.shape == (1, 8, 8, 8)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    assert (img[:, :2] == 0).all()  # masked voxels forced to zero
