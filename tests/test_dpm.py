@@ -129,6 +129,32 @@ def test_i2i_conditioned_loop_shapes():
     assert np.abs(np.asarray(out)).max() <= 1.0 + 1e-6
 
 
+def test_cond_fn_guidance_changes_trajectory():
+    """cond_fn rides through condition_score exactly as in the DDIM loop:
+    guided and unguided runs must differ, stay finite, and zero guidance
+    must be a no-op."""
+    d = GaussianDiffusion.named("linear", 10, "sampled")
+    noise = jax.random.normal(jax.random.PRNGKey(2), SHAPE, jnp.float32)
+
+    def run(cond_fn):
+        return np.asarray(
+            d.dpm_solver_pp_loop(
+                smooth_model, SHAPE, jax.random.PRNGKey(0), noise=noise,
+                steps=5, cond_fn=cond_fn,
+            )
+        )
+
+    base = run(None)
+    guided = run(lambda x, t, **kw: 0.3 * jnp.ones_like(x[..., :8]))
+    zero = run(lambda x, t, **kw: jnp.zeros_like(x[..., :8]))
+    assert np.isfinite(guided).all()
+    assert np.abs(guided - base).max() > 1e-3
+    # zero guidance is a no-op up to the f32 x0→eps→x0 round-trip that
+    # condition_score performs (same round-trip as the reference's
+    # condition_score2); measured max deviation ~2e-6 over a 5-step chain
+    np.testing.assert_allclose(zero, base, rtol=0, atol=1e-4)
+
+
 def test_synthesis_fn_dpm_matches_contract():
     """make_synthesis_fn(sampler='dpm++') runs the full postprocess chain
     (IDWT → clip [0,1] → mask) on a tiny i2i UNet."""
