@@ -304,6 +304,17 @@ class TestShardedSampling:
             model, params, diffusion, crop_z=16, mesh=mesh2
         )(cond, mask, key)
         np.testing.assert_allclose(sharded2, single, atol=1e-5)
+        # DPM-Solver++ rides the same synth/mesh plumbing: sharded ==
+        # unsharded for the solver too
+        dpm_single = common.make_synthesis_fn(
+            model, params, diffusion, crop_z=16,
+            sampler="dpm++", sampler_steps=3,
+        )(cond, mask, key)
+        dpm_sharded = common.make_synthesis_fn(
+            model, params, diffusion, crop_z=16, mesh=mesh2,
+            sampler="dpm++", sampler_steps=3,
+        )(cond, mask, key)
+        np.testing.assert_allclose(dpm_sharded, dpm_single, atol=1e-5)
 
 
 # ---------------------------------------------------------------------------
