@@ -29,7 +29,7 @@ def create_argparser() -> argparse.ArgumentParser:
         weight_decay=0.0,
         lr_anneal_steps=0,
         batch_size=1,
-        microbatch=-1,  # vestigial in the reference; kept for flag parity
+        microbatch=-1,  # real grad accumulation here (dead in the reference)
         ema_rate="0.9999",
         log_interval=100,
         save_interval=5000,
@@ -195,6 +195,7 @@ def main(argv=None) -> None:
         mesh=mesh,
         checkpoint_dir=args.checkpoint_dir or None,
         config=cfg,
+        microbatch=args.microbatch,
     )
     loop.run_loop()
 

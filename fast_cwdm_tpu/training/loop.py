@@ -97,6 +97,7 @@ class TrainLoop:
         checkpoint_dir: str | None = None,
         config: dict | None = None,
         prefetch: int = 2,
+        microbatch: int = -1,
     ):
         self.model = model
         self.diffusion = diffusion
@@ -131,6 +132,20 @@ class TrainLoop:
         # norms every step: measured FREE on the production model (651.8 ms
         # with vs 650.7 without — XLA overlaps the two abs-max passes), so
         # one compiled program beats two (PERF.md session 2)
+        # reference flag semantics (`train_util.py:73`): microbatch<=0 or
+        # >=batch_size → no accumulation; otherwise the PER-DEVICE batch
+        # is split into batch_size/microbatch sequential grad-accum chunks
+        # (the reference stores the flag but dropped the loop — here it
+        # works; see make_train_step)
+        if 0 < microbatch < batch_size:
+            if batch_size % microbatch != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"microbatch {microbatch}"
+                )
+            accum_steps = batch_size // microbatch
+        else:
+            accum_steps = 1
         self.step_fn = make_train_step(
             model,
             diffusion,
@@ -139,6 +154,7 @@ class TrainLoop:
             mode=mode,
             sampler=self.sampler,
             donate=True,
+            accum_steps=accum_steps,
         )
         self.key = jax.random.PRNGKey(seed)
         self.state: TrainState | None = None

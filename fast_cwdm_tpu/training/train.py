@@ -76,8 +76,18 @@ def make_train_step(
     compute_dtype=None,
     donate: bool = False,
     with_norms: bool = True,
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, Any, jax.Array], tuple[TrainState, dict]]:
     """Build the jitted train step.
+
+    ``accum_steps``: gradient accumulation — the batch is split into
+    ``accum_steps`` microbatches scanned sequentially (one microbatch's
+    activations live at a time), gradients averaged, ONE optimizer step.
+    The reference PARSES ``--microbatch`` but dropped the accumulation
+    loop its upstream had (`train_util.py:42,73` store it; nothing reads
+    it) — here the flag does what it says. Numerics match the
+    unaccumulated step (same t draw, same full-batch noise draw, sliced)
+    up to float re-association; tested.
 
     ``batch``: dict of image-space volumes ``(B, X, Y, Z, 1)`` keyed by
     modality (i2i) or a single array. Returns ``(new_state, metrics)`` with
@@ -90,7 +100,10 @@ def make_train_step(
     sampler = sampler or UniformSampler(diffusion.num_timesteps)
     loss_aware = isinstance(sampler, LossSecondMomentResampler)
 
-    def loss_fn(params, batch, t, key_noise, key_drop):
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+
+    def loss_fn(params, batch, t, key_noise, key_drop, noise_img=None):
         def model_fn(x, tt, **kw):
             if compute_dtype is not None:
                 x = x.astype(compute_dtype)
@@ -104,7 +117,8 @@ def make_train_step(
             ).astype(jnp.float32)
 
         terms, model_out, out_idwt = diffusion.training_losses(
-            model_fn, batch, t, key_noise, contr=contr, mode=mode
+            model_fn, batch, t, key_noise, contr=contr, mode=mode,
+            noise_img=noise_img,
         )
         # equal subband weights (`train_util.py:447-449`)
         loss = terms["mse_wav"].mean()
@@ -139,9 +153,67 @@ def make_train_step(
         else:
             t, _w = sampler.sample(key_t, bsz)
 
-        (loss, terms), grads = grad_fn(
-            state.params, batch, t, key_noise, key_drop
-        )
+        if accum_steps == 1:
+            (loss, terms), grads = grad_fn(
+                state.params, batch, t, key_noise, key_drop
+            )
+        else:
+            if bsz % accum_steps != 0:
+                raise ValueError(
+                    f"batch size {bsz} not divisible by "
+                    f"accum_steps {accum_steps}"
+                )
+            n, mb = accum_steps, bsz // accum_steps
+            # draw noise for the FULL batch exactly as the unaccumulated
+            # step would (training_losses' internal draw), then slice —
+            # same randomness regardless of accum_steps
+            target = batch[contr] if mode == "i2i" else batch
+            noise_img = jax.random.normal(
+                key_noise, target.shape, dtype=target.dtype
+            )
+
+            def to_micro(x):
+                return x.reshape((n, mb) + x.shape[1:])
+
+            micro = jax.tree.map(to_micro, batch)
+            inputs = (
+                micro,
+                t.reshape(n, mb),
+                to_micro(noise_img),
+                jax.random.split(key_drop, n),
+            )
+
+            def body(g_acc, inp):
+                mb_i, t_i, nz_i, kd_i = inp
+                (loss_i, terms_i), g_i = grad_fn(
+                    state.params, mb_i, t_i, key_noise, kd_i,
+                    noise_img=nz_i,
+                )
+                ys = (
+                    loss_i,
+                    terms_i["mse_wav"],
+                    terms_i["loss_per_sample"],
+                    terms_i[IMAGE_METRIC_KEYS[0]],
+                    terms_i[IMAGE_METRIC_KEYS[1]],
+                )
+                return jax.tree.map(jnp.add, g_acc, g_i), ys
+
+            g_sum, ys = jax.lax.scan(
+                body, jax.tree.map(jnp.zeros_like, state.params), inputs
+            )
+            grads = jax.tree.map(lambda x: x / n, g_sum)
+            loss = ys[0].mean()
+            terms = {
+                "mse_wav": ys[1].mean(axis=0),
+                "loss_per_sample": ys[2].reshape(bsz),
+                # microbatch-stacked slices flatten back to batch order
+                IMAGE_METRIC_KEYS[0]: ys[3].reshape(
+                    (bsz,) + ys[3].shape[2:]
+                ),
+                IMAGE_METRIC_KEYS[1]: ys[4].reshape(
+                    (bsz,) + ys[4].shape[2:]
+                ),
+            }
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

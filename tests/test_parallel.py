@@ -119,6 +119,34 @@ def test_sharded_step_matches_single_device(setup, data, sp):
     )
 
 
+def test_sharded_step_with_grad_accum(setup):
+    """Gradient accumulation composes with data sharding: the scanned
+    microbatch reshape resharding (GSPMD-inserted) keeps the numerics of
+    the unsharded unaccumulated step."""
+    model, diffusion, batch, params = setup
+    tx = make_optimizer(1e-3)
+    key = jax.random.PRNGKey(7)
+    step1 = make_train_step(model, diffusion, tx, contr="t1n", mode="i2i")
+    state0 = TrainState.create(params, tx)
+    _, m_ref = step1(state0, jax.tree.map(jnp.asarray, batch), key)
+
+    step_acc = make_train_step(
+        model, diffusion, tx, contr="t1n", mode="i2i", accum_steps=2
+    )
+    mesh = make_mesh(data=4, sp=2)
+    sharded_batch = shard_batch(mesh, batch)
+    state_sh = jax.device_put(TrainState.create(params, tx), replicated(mesh))
+    _, m_acc = step_acc(state_sh, sharded_batch, key)
+
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_acc["loss"]), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_ref["mse_wav"]), np.asarray(m_acc["mse_wav"]),
+        rtol=2e-4, atol=1e-6,
+    )
+
+
 class TestSetupDistributedEnvRouting:
     """Env-var routing of `setup_distributed` (no real cluster needed —
     `jax.distributed.initialize` is stubbed)."""

@@ -104,6 +104,74 @@ class TestTrainStep:
             atol=1e-6,
         )
 
+    def test_grad_accum_matches_full_batch(self, setup):
+        """accum_steps>1 splits the batch into scanned microbatches but
+        draws the SAME t and full-batch noise as the unaccumulated step —
+        resulting params/metrics match up to float re-association."""
+        model, diffusion, _, params = setup
+        batch = make_batch(jax.random.PRNGKey(7), b=4)
+        tx = make_optimizer(1e-3)
+        key = jax.random.PRNGKey(9)
+
+        def run(accum):
+            state = TrainState.create(params, tx, ema_rates=(0.9,))
+            step = make_train_step(
+                model, diffusion, tx, contr="t1c", mode="i2i",
+                accum_steps=accum,
+            )
+            return step(state, batch, key)
+
+        s1, m1 = run(1)
+        s2, m2 = run(2)
+        s4, m4 = run(4)
+        np.testing.assert_allclose(
+            float(m2["loss"]), float(m1["loss"]), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2["mse_wav"]), np.asarray(m1["mse_wav"]), rtol=2e-4
+        )
+        # per-sample losses keep batch order across the microbatch split
+        np.testing.assert_allclose(
+            np.asarray(m2["loss_per_sample"]),
+            np.asarray(m1["loss_per_sample"]),
+            rtol=2e-4,
+        )
+        np.testing.assert_array_equal(np.asarray(m2["t"]), np.asarray(m1["t"]))
+        for accum_state in (s2, s4):
+            for a, b in zip(
+                jax.tree.leaves(s1.params), jax.tree.leaves(accum_state.params)
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), atol=5e-6
+                )
+
+    def test_trainloop_microbatch_wiring(self, setup):
+        """TrainLoop maps the reference's --microbatch flag (microbatch
+        SIZE) to accumulation count, and rejects indivisible sizes."""
+        from fast_cwdm_tpu.training.loop import TrainLoop
+
+        model, diffusion, batch, _ = setup
+        kwargs = dict(
+            model=model, diffusion=diffusion, data=[batch], batch_size=4,
+            checkpoint_dir="/tmp/unused_mb",
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            TrainLoop(**kwargs, microbatch=3)
+        # microbatch<=0 or >= batch_size → no accumulation; valid divisor OK
+        for mb in (-1, 0, 4, 8, 2):
+            TrainLoop(**kwargs, microbatch=mb)
+
+    def test_grad_accum_rejects_indivisible_batch(self, setup):
+        model, diffusion, _, params = setup
+        batch = make_batch(jax.random.PRNGKey(7), b=3)
+        tx = make_optimizer(1e-3)
+        state = TrainState.create(params, tx, ema_rates=())
+        step = make_train_step(
+            model, diffusion, tx, contr="t1c", mode="i2i", accum_steps=2
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            step(state, batch, jax.random.PRNGKey(0))
+
     def test_lr_anneal_reaches_zero(self):
         tx = make_optimizer(1.0, lr_anneal_steps=10)
         params = {"w": jnp.ones((4,))}
