@@ -227,6 +227,10 @@ def load_best_synthesis(
     if dtype:
         cfg["dtype"] = dtype
     cfg.update(mode="i2i", sample_schedule=schedule, diffusion_steps=steps)
+    if sampler == "ddim" and sampler_steps:
+        # same contract as sample.py: DDIM shortens the chain by respacing
+        # the process (dpm++ subsamples its own index schedule instead)
+        cfg["timestep_respacing"] = f"ddim{sampler_steps}"
     model, diffusion = build_model_and_diffusion(cfg)
     params = load_params(path, model, use_ema=use_ema)
     fn = make_synthesis_fn(

@@ -65,8 +65,8 @@ def create_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--sampling_steps", type=int, default=0,
-        help="model evaluations for --sampler dpm++ (default: "
-        "min(50, diffusion steps)); ignored for ddpm/ddim",
+        help="model evaluations: dpm++ solver steps (default "
+        "min(50, diffusion steps)) or ddimN respacing; ignored for ddpm",
     )
     return p
 

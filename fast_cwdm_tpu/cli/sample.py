@@ -98,7 +98,7 @@ def main(argv=None) -> None:
         model, params, diffusion,
         sampler=sampler,
         sampler_steps=(
-            args.sampling_steps or None if sampler == "dpm++" else None
+            (args.sampling_steps or None) if sampler == "dpm++" else None
         ),
         clip_denoised=args.clip_denoised,
     )

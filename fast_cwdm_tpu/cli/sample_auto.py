@@ -42,7 +42,7 @@ def create_argparser() -> argparse.ArgumentParser:
         use_ema=False,
         dataset="brats",
         sampler="ddpm",  # ddpm | ddim | dpm++ (DPM-Solver++(2M))
-        sampling_steps=0,  # dpm++ model evals; 0 → min(50, T)
+        sampling_steps=0,  # dpm++ evals or ddimN respacing; 0 → default
     )
     md = model_and_diffusion_defaults()
     defaults.update({k: v for k, v in md.items() if k not in defaults})

@@ -46,8 +46,10 @@ def dpm_timestep_indices(num_timesteps: int, steps: int) -> np.ndarray:
     idx = np.unique(
         np.round(np.linspace(0, num_timesteps - 1, steps)).astype(np.int64)
     )[::-1]
-    if len(idx) != steps:  # rounding collision — only possible steps≈T
-        idx = np.arange(num_timesteps - 1, -1, -1)[:steps]
+    # linspace spacing (T-1)/(steps-1) >= 1 for steps in [2, T], so the
+    # rounded points are strictly decreasing — no collision is possible
+    # and both endpoints (T-1 and 0) are always present
+    assert len(idx) == steps and idx[0] == num_timesteps - 1 and idx[-1] == 0
     return np.ascontiguousarray(idx)
 
 

@@ -87,7 +87,10 @@ def make_train_step(
     loop its upstream had (`train_util.py:42,73` store it; nothing reads
     it) — here the flag does what it says. Numerics match the
     unaccumulated step (same t draw, same full-batch noise draw, sliced)
-    up to float re-association; tested.
+    up to float re-association; tested. Caveat: with dropout > 0 the
+    accumulated path keys dropout PER MICROBATCH (the unaccumulated one
+    uses a single key), so cross-setting reproducibility holds only at
+    dropout=0 — the tested and production config (run.sh dropout=0).
 
     ``batch``: dict of image-space volumes ``(B, X, Y, Z, 1)`` keyed by
     modality (i2i) or a single array. Returns ``(new_state, metrics)`` with

@@ -379,6 +379,63 @@ def test_ddim_sampler_selection():
     assert np.isfinite(ddim).all() and np.isfinite(ddpm).all()
 
 
+def test_load_best_synthesis_ddim_respacing(tmp_path, monkeypatch):
+    """--sampler ddim --sampling_steps N on the auto CLIs applies ddimN
+    respacing, matching sample.py's contract (previously they silently
+    ignored the flag for ddim, so identical flags respaced the chain in
+    one CLI and walked the full chain in another)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_cwdm_tpu.cli import common
+    from fast_cwdm_tpu.models import model_and_diffusion_defaults
+    from fast_cwdm_tpu.training import checkpoints as ckpt
+
+    cfg = model_and_diffusion_defaults()
+    cfg.update(
+        image_size=8, num_channels=16, num_res_blocks=1, channel_mult="1,2",
+        attention_resolutions="", num_groups=8, bottleneck_attention=False,
+        in_channels=32, out_channels=8, dims=3, resample_2d=False,
+        diffusion_steps=4, sample_schedule="sampled",
+    )
+    model, _ = common.build_model_and_diffusion(dict(cfg, mode="i2i"))
+    params = common.init_params(model)
+    name = ckpt.best_checkpoint_name("t1c", "sampled", 4)
+    ckpt.save_checkpoint(
+        str(tmp_path / name),
+        {"params": params, "ema_params": (), "step": 0},
+        config=dict(cfg, sample_schedule="sampled", diffusion_steps=4),
+    )
+
+    seen = {}
+    orig = common.build_model_and_diffusion
+
+    def spy(c):
+        seen.update(c)
+        return orig(c)
+
+    monkeypatch.setattr(common, "build_model_and_diffusion", spy)
+    fn = common.load_best_synthesis(
+        str(tmp_path), "t1c", base_cfg=dict(cfg),
+        sampler="ddim", sampler_steps=2, use_ema=False,
+    )
+    assert seen["timestep_respacing"] == "ddim2"
+
+    rng = np.random.default_rng(7)
+    batch = {m: rng.random((1, 16, 16, 16, 1), np.float32) for m in MODALITIES}
+    cond = common.prepare_condition(batch, "t1c")
+    out = fn(cond, jnp.asarray(batch["t1n"]), jax.random.PRNGKey(3))
+    assert np.isfinite(out).all()
+
+    # ddpm ignores sampling_steps: no respacing applied
+    seen.clear()
+    common.load_best_synthesis(
+        str(tmp_path), "t1c", base_cfg=dict(cfg),
+        sampler="ddpm", sampler_steps=2, use_ema=False,
+    )
+    assert seen.get("timestep_respacing", "") in ("", "4")
+
+
 def test_enable_compile_cache(tmp_path, monkeypatch):
     """Every compute CLI turns on XLA's persistent compilation cache
     (the TPU-native answer to torch-eager's zero warm-up: production
