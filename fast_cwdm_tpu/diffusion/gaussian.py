@@ -25,6 +25,7 @@ implemented correctly; DDIM's use-before-def `out` when ``cond_fn`` is set
 from __future__ import annotations
 
 import enum
+import functools
 from typing import Any, Callable, Sequence
 
 import jax
@@ -420,6 +421,7 @@ class GaussianDiffusion:
         model_kwargs=None,
         time: int | None = None,
         chunk_size: int | None = None,
+        params=None,
     ) -> jax.Array:
         """Full reverse chain as ONE `lax.scan` (vs the reference's Python
         loop over `p_sample`, `gaussian_diffusion.py:668-719`).
@@ -434,11 +436,17 @@ class GaussianDiffusion:
         scans of ``chunk_size`` steps (identical numerics). Use for very
         long chains (e.g. the classic 1000-step schedule) where a single
         monolithic device program is impractical; equal-size chunks share
-        one compilation. NOTE: because ``model_fn`` is a closure, its
-        params are baked into the chunk program as constants and the jit
-        wrapper is rebuilt per call — for production synthesis use
-        `cli.common.make_synthesis_fn`, whose chunked path keeps params as
-        jit arguments and reuses one compiled segment.
+        one compilation.
+
+        ``params``: model parameters as an explicit pytree; when given,
+        ``model_fn`` is called as ``model_fn(params, x, t)`` and the
+        chunked path runs ONE module-level jitted segment with params (and
+        the schedule tables) as jit ARGUMENTS — reused across chunks AND
+        across calls (pass a stable ``model_fn``, not a per-call lambda).
+        Without ``params``, ``model_fn(x, t)`` is a closure and the chunk
+        program embeds whatever it closes over as HLO constants — fine for
+        small models; for the 81M-param production model always pass
+        ``params`` (or use `cli.common.make_synthesis_fn`).
         """
         t_total = self.num_timesteps if time is None else time
         key_init, key_loop = jax.random.split(key)
@@ -449,8 +457,23 @@ class GaussianDiffusion:
         )
         ts = jnp.arange(t_total - 1, -1, -1)
         keys = jax.random.split(key_loop, t_total)
+        net = (
+            model_fn
+            if params is None
+            else (lambda x, t: model_fn(params, x, t))
+        )
 
         if chunk_size and chunk_size < t_total:
+            if params is not None:
+                for s in range(0, t_total, chunk_size):
+                    img = _run_p_segment(
+                        self, params, img,
+                        ts[s : s + chunk_size], keys[s : s + chunk_size],
+                        cond, model_kwargs,
+                        model_fn=model_fn, clip_denoised=clip_denoised,
+                        denoised_fn=denoised_fn, cond_fn=cond_fn,
+                    )
+                return img
             run_chunk = jax.jit(
                 lambda im, ts_c, keys_c, cond_c: self.scan_steps(
                     model_fn,
@@ -472,7 +495,7 @@ class GaussianDiffusion:
             return img
 
         return self.scan_steps(
-            model_fn,
+            net,
             img,
             ts,
             keys,
@@ -1168,3 +1191,42 @@ class GaussianDiffusion:
             "xstart_mse": xstart_mse,
             "mse": mse,
         }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_fn", "clip_denoised", "denoised_fn", "cond_fn"),
+)
+def _run_p_segment(
+    diffusion: GaussianDiffusion,
+    params,
+    img,
+    ts_c,
+    keys_c,
+    cond,
+    model_kwargs,
+    *,
+    model_fn,
+    clip_denoised,
+    denoised_fn,
+    cond_fn,
+):
+    """One compiled ancestral-chain segment for `p_sample_loop(params=...)`.
+
+    Module-level (not rebuilt per call) with the schedule tables, params,
+    and conditioning as jit ARGUMENTS — the compiled program is keyed only
+    on ``model_fn`` identity, the static flags, and shapes, so equal-size
+    chunks reuse ONE executable across chunks and across calls. A
+    closure-params variant would embed the 81M-param production tree as
+    ~326 MB of HLO constants and recompile per wrapper (PERF.md)."""
+    return diffusion.scan_steps(
+        lambda x, t: model_fn(params, x, t),
+        img,
+        ts_c,
+        keys_c,
+        cond=cond,
+        clip_denoised=clip_denoised,
+        denoised_fn=denoised_fn,
+        cond_fn=cond_fn,
+        model_kwargs=model_kwargs,
+    )
