@@ -1,0 +1,234 @@
+"""Procedural multi-modality MRI phantoms in BraTS geometry.
+
+The environment has no BraTS data and no reachable published weights
+(reference README.md:28-31 links are offline here), so synthesis QUALITY —
+the north-star axis "SSIM/PSNR parity on BraTS validation" — is measured
+on a self-contained phantom benchmark instead: procedurally generated
+brains whose four "modalities" are distinct contrast mappings of SHARED
+latent anatomy, written in the exact BraTS-2023 layout the loaders and
+CLIs consume (`BraTS-GLI-{id}-000-{mod}.nii.gz`, 240×240×155, raw
+scanner-ish intensity range — `bratsloader.py:29-50` contract).
+
+Anatomy model (per case, fully determined by an integer seed):
+
+* smooth latent tissue fields ``c1`` ("WM-ish") and ``c2`` ("GM/CSF-ish")
+  from spline-upsampled low-resolution noise;
+* a shared fine texture field (same weight in every modality);
+* an optional lesion: smooth "edema" blob ``E`` with an "enhancing core"
+  ``C`` derived deterministically from E's interior;
+* a brain mask: perturbed ellipsoid; background is EXACTLY zero (the
+  sampling CLIs mask output by ``cond == 0``, `scripts/sample.py:123-125`).
+
+t1n/t2w/t2f are affine maps of ``(1, c1, c2, E, C, texture)`` with
+MRI-motivated signs (T2/FLAIR bright edema, T1 dark CSF); t1c is an EXACT
+affine combination of the other three plus a gadolinium-style enhancement
+of the core (``T1C_COMBO``). The held-out t1c is therefore pointwise
+determined by the three observed modalities up to the enhancement — which
+the model must infer from the edema's spatial interior (C = f(E)) — so
+the 3→1 completion task the reference solves on BraTS
+(`scripts/complete_dataset.py`) is well-posed on phantoms by construction
+and SSIM/PSNR on held-out phantom cases measures MODEL/SAMPLER quality,
+not dataset noise.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from fast_cwdm_tpu.data import Nifti1Image, save
+
+MODALITIES = ("t1n", "t1c", "t2w", "t2f")
+RAW_SHAPE = (240, 240, 155)
+
+# rows: (const, c1, c2, E, C, tex) — see module docstring
+CONTRAST = {
+    "t1n": (0.40, +0.30, -0.12, -0.08, -0.05, 0.05),
+    "t2w": (0.30, -0.12, +0.35, +0.22, +0.05, 0.05),
+    "t2f": (0.34, -0.06, +0.28, +0.30, -0.10, 0.05),
+}
+# t1c is an EXACT affine combination of the other three (pre-noise,
+# normalized-intensity space) plus gadolinium-style core enhancement:
+#   t1c = 0.9·t1n − 0.12·t2w + 0.18·t2f + 0.02 + 0.32·C
+# so the 3→1 completion target is pointwise-determined by the inputs —
+# except the enhancement, which the model must infer from the edema's
+# spatial interior (C = f(E)); that is the learnable "hard part".
+T1C_COMBO = (0.90, -0.12, 0.18, 0.02, 0.32)
+LESION_PROB = 0.85
+
+
+def _smooth_field(rng: np.random.Generator, shape, res: int) -> np.ndarray:
+    """Zero-mean unit-std smooth random field: low-res normal noise,
+    cubic-spline upsampled to an intermediate grid, then linearly to
+    ``shape`` (two-stage: 6x cheaper than one cubic zoom at 240-cube and
+    just as smooth — the linear stage interpolates an already-smooth
+    field)."""
+    from scipy.ndimage import zoom
+
+    base = rng.normal(size=(res, res, max(2, int(res * 0.66)))).astype(
+        np.float32
+    )
+    mid_shape = tuple(min(s, max(b * 2, 48)) for s, b in zip(shape, base.shape))
+    mid = zoom(
+        base, [m / b for m, b in zip(mid_shape, base.shape)],
+        order=3, mode="nearest", grid_mode=True,
+    )
+    f = zoom(
+        mid, [s / m for s, m in zip(shape, mid.shape)],
+        order=1, mode="nearest", grid_mode=True,
+    )
+    f = f[: shape[0], : shape[1], : shape[2]]
+    std = float(f.std())
+    return (f - float(f.mean())) / (std if std > 0 else 1.0)
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def generate_case(
+    seed: int, shape=RAW_SHAPE, lesion_prob: float = LESION_PROB
+) -> dict[str, np.ndarray]:
+    """One phantom case: ``{t1n,t1c,t2w,t2f: float32 raw-intensity volume,
+    seg: int16 BraTS-label volume}``, deterministic in ``seed``."""
+    rng = np.random.default_rng(seed)
+    shape = tuple(int(s) for s in shape)
+    # broadcast (sparse) grids: full meshgrid materializes 3 volume-size
+    # arrays for nothing
+    xx = np.arange(shape[0], dtype=np.float32)[:, None, None]
+    yy = np.arange(shape[1], dtype=np.float32)[None, :, None]
+    zz = np.arange(shape[2], dtype=np.float32)[None, None, :]
+
+    # --- brain mask: perturbed ellipsoid, smooth edge, hard zero outside
+    center = [
+        s * (0.5 + rng.uniform(-0.02, 0.02)) for s in shape
+    ]
+    axes = [
+        shape[0] * rng.uniform(0.36, 0.42),
+        shape[1] * rng.uniform(0.40, 0.46),
+        shape[2] * rng.uniform(0.38, 0.44),
+    ]
+    d2 = (
+        ((xx - center[0]) / axes[0]) ** 2
+        + ((yy - center[1]) / axes[1]) ** 2
+        + ((zz - center[2]) / axes[2]) ** 2
+    )
+    boundary = _smooth_field(rng, shape, 6)
+    mask_field = 1.0 - d2 + 0.12 * boundary
+    brain = mask_field > 0.0
+    edge = np.clip(mask_field / 0.15, 0.0, 1.0).astype(np.float32)
+
+    # --- latent tissue fields in (0, 1)
+    c1 = _sigmoid(1.3 * _smooth_field(rng, shape, 10))
+    c2 = _sigmoid(1.3 * _smooth_field(rng, shape, 14))
+    tex = np.tanh(_smooth_field(rng, shape, 36)) * 0.5 + 0.5
+
+    # --- lesion: edema blob E, enhancing core C = f(E)
+    E = np.zeros(shape, np.float32)
+    if rng.uniform() < lesion_prob:
+        for _ in range(64):
+            lc = [
+                rng.uniform(0.25, 0.75) * s for s in shape
+            ]
+            li = tuple(int(v) for v in lc)
+            if mask_field[li] > 0.35:
+                break
+        lr = [rng.uniform(0.05, 0.12) * s for s in shape]
+        ld2 = (
+            ((xx - lc[0]) / lr[0]) ** 2
+            + ((yy - lc[1]) / lr[1]) ** 2
+            + ((zz - lc[2]) / lr[2]) ** 2
+        )
+        bump = 0.75 + 0.25 * tex
+        E = np.clip(1.0 - ld2, 0.0, 1.0) ** 1.5 * bump
+        E = E.astype(np.float32)
+    C = np.clip((E - 0.55) / 0.45, 0.0, 1.0) ** 1.2
+
+    # --- modalities: affine contrast of shared latents, scanner gain+noise
+    base: dict[str, np.ndarray] = {}
+    for mod, row in CONTRAST.items():
+        b0, w1, w2, we, wc, wt = row
+        base[mod] = b0 + w1 * c1 + w2 * c2 + we * E + wc * C + wt * tex
+    a1, a2, a3, b0, wc = T1C_COMBO
+    base["t1c"] = (
+        a1 * base["t1n"] + a2 * base["t2w"] + a3 * base["t2f"]
+        + b0 + wc * C
+    )
+    out: dict[str, np.ndarray] = {}
+    for mod in MODALITIES:
+        img = np.clip(base[mod], 0.02, None) * edge
+        gain = rng.uniform(700.0, 1100.0)
+        noise = rng.normal(0.0, 0.004, size=shape).astype(np.float32)
+        # positive floor INSIDE the brain so the zero set is exactly the
+        # background in every modality (edge→0 + noise could otherwise
+        # zero isolated boundary voxels in one modality only, desyncing
+        # the cond==0 brain mask the sampling CLIs rely on)
+        vol = np.where(
+            brain, np.clip(img + noise, 1e-3, None) * gain, 0.0
+        ).astype(np.float32)
+        out[mod] = vol
+
+    seg = np.zeros(shape, np.int16)
+    seg[E > 0.35] = 2  # edema
+    seg[E > 0.55] = 1  # non-enhancing core
+    seg[C > 0.25] = 4  # enhancing tumor (BraTS raw labels, pre-remap)
+    out["seg"] = seg
+    return out
+
+
+def write_case(
+    case_dir: str,
+    seed: int,
+    shape=RAW_SHAPE,
+    case_id: str | None = None,
+    modalities=MODALITIES,
+    with_seg: bool = True,
+) -> str:
+    """Write one case in the BraTS leaf-directory layout the loaders
+    discover (`bratsloader.py:29-38`)."""
+    os.makedirs(case_dir, exist_ok=True)
+    case_id = case_id or os.path.basename(case_dir)
+    vols = generate_case(seed, shape)
+    for mod in modalities:
+        save(
+            Nifti1Image(vols[mod], np.eye(4)),
+            os.path.join(case_dir, f"BraTS-GLI-{case_id}-000-{mod}.nii.gz"),
+        )
+    if with_seg:
+        save(
+            Nifti1Image(vols["seg"], np.eye(4)),
+            os.path.join(case_dir, f"BraTS-GLI-{case_id}-000-seg.nii.gz"),
+        )
+    return case_dir
+
+
+def write_phantom_dataset(
+    root: str,
+    n_cases: int,
+    start_seed: int = 0,
+    shape=RAW_SHAPE,
+    workers: int = 4,
+    modalities=MODALITIES,
+    with_seg: bool = True,
+) -> list[str]:
+    """Generate ``n_cases`` phantom cases under ``root`` (case directories
+    ``{seed:05d}``), in parallel (gzip encoding releases the GIL)."""
+    os.makedirs(root, exist_ok=True)
+    dirs = []
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = []
+        for i in range(n_cases):
+            seed = start_seed + i
+            case_dir = os.path.join(root, f"{seed:05d}")
+            dirs.append(case_dir)
+            futs.append(
+                pool.submit(
+                    write_case, case_dir, seed, shape,
+                    modalities=modalities, with_seg=with_seg,
+                )
+            )
+        for f in futs:
+            f.result()
+    return dirs
