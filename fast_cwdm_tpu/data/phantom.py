@@ -51,11 +51,16 @@ CONTRAST = {
 }
 # t1c is an EXACT affine combination of the other three (pre-noise,
 # normalized-intensity space) plus gadolinium-style core enhancement:
-#   t1c = 0.9·t1n − 0.12·t2w + 0.18·t2f + 0.02 + 0.32·C
+#   t1c = 0.55·t1n − 0.35·t2w + 0.45·t2f + 0.22 + 0.32·C
 # so the 3→1 completion target is pointwise-determined by the inputs —
 # except the enhancement, which the model must infer from the edema's
-# spatial interior (C = f(E)); that is the learnable "hard part".
-T1C_COMBO = (0.90, -0.12, 0.18, 0.02, 0.32)
+# spatial interior (C = f(E)); that is the learnable "hard part". The
+# weights are deliberately spread across all three inputs so that no
+# single-modality COPY heuristic scores well (with a 0.9·t1n-dominated
+# combo, copy-t1n scored SSIM 0.995 and the benchmark was trivially
+# gameable); the constant keeps the combination positive everywhere, so
+# the 0.02 intensity floor never clips the target and breaks exactness.
+T1C_COMBO = (0.55, -0.35, 0.45, 0.22, 0.32)
 LESION_PROB = 0.85
 
 
@@ -160,7 +165,11 @@ def generate_case(
     for mod in MODALITIES:
         img = np.clip(base[mod], 0.02, None) * edge
         gain = rng.uniform(700.0, 1100.0)
-        noise = rng.normal(0.0, 0.004, size=shape).astype(np.float32)
+        # noise sets the benchmark's irreducible SSIM/R^2 floor (the GT
+        # carries it, a perfect model cannot predict it): 0.002 in
+        # normalized units keeps the task ceiling ~0.999 while still
+        # exercising the denoiser
+        noise = rng.normal(0.0, 0.002, size=shape).astype(np.float32)
         # positive floor INSIDE the brain so the zero set is exactly the
         # background in every modality (edge→0 + noise could otherwise
         # zero isolated boundary voxels in one modality only, desyncing

@@ -1,0 +1,347 @@
+"""Synthesis-quality benchmark on the self-contained phantom dataset.
+
+Closes the north-star quality axis ("SSIM/PSNR parity on BraTS
+validation", BASELINE.json) in an environment with no BraTS data and no
+reachable reference weights: generate procedural multi-modality phantoms
+(`fast_cwdm_tpu.data.phantom` — the 3→1 completion task is well-posed by
+construction), train the PRODUCTION config on them (run.sh:138-147 budget:
+5000 steps, lr 1e-5, remat, batch 1), then score held-out 3→1 completions
+with the skimage-exact `ssim3d`/`psnr` across samplers and step counts —
+the (quality, s/volume) frontier that justifies the DPM++ operating point.
+
+Stages (resumable — each skipped when its artifact already exists):
+  gen   → {workdir}/train, {workdir}/val phantom trees
+  train → {workdir}/ckpt_{schedule}_{steps}/ BEST checkpoint per schedule
+  eval  → {workdir}/quality.json + a markdown table on stdout
+
+Run on the chip:      python scripts/quality_bench.py --workdir /tmp/qb
+CPU harness smoke:    python scripts/quality_bench.py --quick --workdir /tmp/qbq
+
+Reference contracts exercised: training loop budget `train_util.py:177-313`,
+eval loop `scripts/evaluate_synthesis.py:25-66` (direct SSIM/PSNR — the
+nnUNet Dice stage needs weights this air-gapped environment cannot fetch,
+`evaluate_synthesis.py:83-119`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROD_Z = 155
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--contr", default="t1c")
+    ap.add_argument("--train_cases", type=int, default=24)
+    ap.add_argument("--val_cases", type=int, default=4)
+    ap.add_argument("--train_steps", type=int, default=5000)
+    ap.add_argument(
+        "--schedules", default="direct:1000,sampled:10",
+        help="comma list of sample_schedule:diffusion_steps models to train",
+    )
+    ap.add_argument(
+        "--samplers",
+        default="ddpm:full,ddpm:100,ddim:100,dpm++:50,dpm++:25,dpm++:10",
+        help="comma list sampler:steps evaluated on the direct model "
+        "('full' = the model's whole chain); the sampled:N model is always "
+        "evaluated with its native N-step chain",
+    )
+    ap.add_argument("--stages", default="gen,train,eval")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--lr", type=float, default=1e-5)
+    ap.add_argument("--save_interval", type=int, default=500)
+    ap.add_argument(
+        "--quick", action="store_true",
+        help="tiny model + tiny phantoms: validates the harness end-to-end "
+        "on CPU in minutes (numbers are NOT quality evidence)",
+    )
+    ap.add_argument("--write_md", default="",
+                    help="also append the results table to this markdown file")
+    return ap.parse_args(argv)
+
+
+def model_flags(a) -> list[str]:
+    if a.quick:
+        return [
+            "--num_channels=16", "--num_res_blocks=1", "--channel_mult=1,2",
+            "--attention_resolutions=", "--num_groups=8",
+            "--bottleneck_attention=False", "--image_size=8",
+            "--in_channels=32", "--out_channels=8", "--dims=3",
+            "--resample_2d=False", "--mode=i2i", "--predict_xstart=True",
+            "--dtype=float32",
+        ]
+    return [
+        "--dims=3", "--num_groups=32", "--num_channels=64",
+        "--num_res_blocks=2", "--channel_mult=1,2,2,4,4",
+        "--attention_resolutions=", "--bottleneck_attention=False",
+        "--image_size=112", "--in_channels=32", "--out_channels=8",
+        "--resample_2d=False", "--use_scale_shift_norm=False",
+        "--additive_skips=False", "--noise_schedule=linear",
+        "--predict_xstart=True", "--mode=i2i", "--dataset=brats",
+        "--dtype=bfloat16", "--use_checkpoint=True",
+    ]
+
+
+def phantom_shape(a):
+    return (40, 40, 26) if a.quick else (240, 240, 155)
+
+
+def stage_gen(a) -> tuple[str, str]:
+    from fast_cwdm_tpu.data.phantom import write_phantom_dataset
+
+    train_dir = os.path.join(a.workdir, "train")
+    val_dir = os.path.join(a.workdir, "val")
+    shape = phantom_shape(a)
+    for d, n, seed0 in (
+        (train_dir, a.train_cases, 0),
+        (val_dir, a.val_cases, 10_000),
+    ):
+        done = os.path.join(d, ".complete")
+        if os.path.exists(done):
+            print(f"[gen] {d} exists, skipping")
+            continue
+        t0 = time.perf_counter()
+        write_phantom_dataset(d, n, start_seed=seed0, shape=shape)
+        open(done, "w").close()
+        print(f"[gen] {d}: {n} cases in {time.perf_counter() - t0:.1f}s")
+    return train_dir, val_dir
+
+
+def ckpt_dir_for(a, schedule: str, steps: int) -> str:
+    return os.path.join(a.workdir, f"ckpt_{schedule}_{steps}")
+
+
+def stage_train(a, train_dir: str) -> None:
+    from fast_cwdm_tpu.cli import train as train_cli
+    from fast_cwdm_tpu.training import checkpoints as ckpt
+
+    for spec in a.schedules.split(","):
+        schedule, steps_s = spec.split(":")
+        steps = int(steps_s)
+        cdir = ckpt_dir_for(a, schedule, steps)
+        found = ckpt.find_best_checkpoint(cdir, a.contr)
+        if found:
+            print(f"[train] {spec}: BEST exists ({found[0]}), skipping")
+            continue
+        argv = model_flags(a) + [
+            f"--data_dir={train_dir}",
+            f"--checkpoint_dir={cdir}",
+            f"--contr={a.contr}",
+            f"--sample_schedule={schedule}",
+            f"--diffusion_steps={steps}",
+            f"--lr={a.lr}",
+            f"--batch_size={a.batch_size}",
+            f"--lr_anneal_steps={a.train_steps}",
+            f"--save_interval={a.save_interval}",
+            "--log_interval=100",
+            "--num_workers=4",
+            f"--seed={a.seed}",
+        ]
+        print(f"[train] {spec}: {a.train_steps} steps → {cdir}")
+        t0 = time.perf_counter()
+        train_cli.main(argv)
+        print(f"[train] {spec} done in {time.perf_counter() - t0:.0f}s")
+
+
+def _sampler_legs(a):
+    """(label, sampler, respacing, dpm_steps) per requested sampler."""
+    legs = []
+    for spec in a.samplers.split(","):
+        sampler, steps_s = spec.split(":")
+        if sampler == "ddpm":
+            resp = "" if steps_s == "full" else steps_s
+            legs.append((f"ddpm-{steps_s}", "ddpm", resp, None))
+        elif sampler == "ddim":
+            legs.append((f"ddim-{steps_s}", "ddim", f"ddim{steps_s}", None))
+        elif sampler == "dpm++":
+            legs.append((f"dpm++-{steps_s}", "dpm++", "", int(steps_s)))
+        else:
+            raise ValueError(f"unknown sampler {sampler!r}")
+    return legs
+
+
+def stage_eval(a, val_dir: str) -> list[dict]:
+    import jax
+    import numpy as np
+
+    from fast_cwdm_tpu.cli import common
+    from fast_cwdm_tpu.cli.evaluate_synthesis import psnr, ssim3d
+    from fast_cwdm_tpu.data.brats import BRATSVolumes
+    from fast_cwdm_tpu.diffusion.gaussian import condition_order
+    from fast_cwdm_tpu.models import model_and_diffusion_defaults
+    from fast_cwdm_tpu.training import checkpoints as ckpt
+
+    crop_z = min(PROD_Z, phantom_shape(a)[2])
+    ds = BRATSVolumes(val_dir, mode="eval")
+    cases = []
+    for i in range(len(ds)):
+        item = ds[i]
+        batch = {
+            m: np.asarray(item[m])[None] for m in ("t1n", "t1c", "t2w", "t2f")
+        }
+        cond = common.prepare_condition(batch, a.contr)
+        mask = batch[condition_order(a.contr)[0]]
+        gt = batch[a.contr][0, ..., 0][:, :, :crop_z]
+        cases.append((cond, mask, gt, batch))
+    print(f"[eval] {len(cases)} held-out cases, target {a.contr}")
+
+    # context rows: how well does trivially COPYING an input score?
+    rows: list[dict] = []
+    for m in condition_order(a.contr):
+        vals = [
+            ssim3d(c[3][m][0, ..., 0][:, :, :crop_z], c[2]) for c in cases
+        ]
+        rows.append({
+            "model": "-", "leg": f"copy-{m}", "evals": 0,
+            "ssim_mean": float(np.mean(vals)),
+            "ssim_min": float(np.min(vals)),
+            "psnr_mean": float(np.mean([
+                psnr(c[3][m][0, ..., 0][:, :, :crop_z], c[2]) for c in cases
+            ])),
+            "s_per_volume": None,
+        })
+
+    # parse the model flags once through the train CLI's own parser so the
+    # eval model config can never drift from the trained one
+    from fast_cwdm_tpu.cli.train import create_argparser
+
+    a_args = create_argparser().parse_args(
+        model_flags(a) + ["--data_dir=unused"]
+    )
+
+    schedules = [tuple(s.split(":")) for s in a.schedules.split(",")]
+    for schedule, steps_s in schedules:
+        steps = int(steps_s)
+        cdir = ckpt_dir_for(a, schedule, steps)
+        found = ckpt.find_best_checkpoint(cdir, a.contr)
+        if not found:
+            print(f"[eval] no checkpoint for {schedule}:{steps}, skipping")
+            continue
+        path = found[0]
+        legs = (
+            _sampler_legs(a)
+            if schedule == "direct"
+            else [(f"{schedule}-{steps}", "ddpm", "", None)]
+        )
+        for label, sampler, respacing, dpm_steps in legs:
+            cfg = {
+                k: v
+                for k, v in vars(a_args).items()
+                if k in model_and_diffusion_defaults()
+            }
+            cfg.update(
+                mode="i2i", sample_schedule=schedule, diffusion_steps=steps,
+                timestep_respacing=respacing,
+            )
+            model, diffusion = common.build_model_and_diffusion(cfg)
+            params = common.load_params(path, model, use_ema=False)
+            synth = common.make_synthesis_fn(
+                model, params, diffusion, crop_z=crop_z,
+                sampler=sampler, sampler_steps=dpm_steps,
+            )
+            evals = (
+                dpm_steps
+                if dpm_steps
+                else diffusion.num_timesteps
+            )
+            key = jax.random.PRNGKey(a.seed + 1)
+            ssims, psnrs, walls = [], [], []
+            for idx, (cond, mask, gt, _) in enumerate(cases):
+                t0 = time.perf_counter()
+                out = synth(cond, mask, jax.random.fold_in(key, idx))
+                wall = time.perf_counter() - t0
+                sample = np.asarray(out)[0]
+                ssims.append(ssim3d(sample, gt))
+                psnrs.append(psnr(sample, gt))
+                if idx > 0:  # case 0 pays the compile
+                    walls.append(wall)
+            row = {
+                "model": f"{schedule}-{steps}",
+                "leg": label,
+                "evals": evals,
+                "ssim_mean": float(np.mean(ssims)),
+                "ssim_min": float(np.min(ssims)),
+                "psnr_mean": float(np.mean(psnrs)),
+                "s_per_volume": (
+                    round(float(np.min(walls)), 3) if walls else None
+                ),
+            }
+            rows.append(row)
+            print("[eval]", json.dumps(row))
+    return rows
+
+
+def render_md(a, rows: list[dict]) -> str:
+    lines = [
+        "| model | sampler | evals | SSIM (mean) | SSIM (min) | PSNR | s/vol |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['model']} | {r['leg']} | {r['evals']} "
+            f"| {r['ssim_mean']:.4f} | {r['ssim_min']:.4f} "
+            f"| {r['psnr_mean']:.2f} "
+            f"| {r['s_per_volume'] if r['s_per_volume'] is not None else '—'} |"
+        )
+    return "\n".join(lines)
+
+
+def main(argv=None) -> None:
+    a = parse_args(argv)
+    os.makedirs(a.workdir, exist_ok=True)
+    stages = a.stages.split(",")
+    if a.quick:
+        # harness smoke runs on CPU — never let it grab the real chip
+        # (the axon plugin ignores JAX_PLATFORMS=cpu; the in-process pin
+        # is the only reliable switch, see the verify skill)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        a.train_cases = min(a.train_cases, 3)
+        a.val_cases = min(a.val_cases, 2)
+        a.train_steps = min(a.train_steps, 60)
+        a.save_interval = min(a.save_interval, 30)
+        a.lr = max(a.lr, 1e-4)
+        if a.schedules == "direct:1000,sampled:10":
+            # the linear schedule needs T ≳ 50 (betas scale with 1000/T
+            # and must stay ≤ 1, `gaussian_diffusion.py:39-44`)
+            a.schedules = "direct:100,sampled:4"
+        if a.samplers.startswith("ddpm:full,ddpm:100"):
+            a.samplers = "ddpm:full,ddpm:10,ddim:10,dpm++:5"
+    train_dir, val_dir = stage_gen(a)
+    if "train" in stages:
+        stage_train(a, train_dir)
+    if "eval" in stages:
+        rows = stage_eval(a, val_dir)
+        out = os.path.join(a.workdir, "quality.json")
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "contr": a.contr,
+                    "train_cases": a.train_cases,
+                    "val_cases": a.val_cases,
+                    "train_steps": a.train_steps,
+                    "quick": a.quick,
+                    "rows": rows,
+                },
+                f, indent=2,
+            )
+        md = render_md(a, rows)
+        print(md)
+        print(f"[quality] wrote {out}")
+        if a.write_md:
+            with open(a.write_md, "a") as f:
+                f.write("\n" + md + "\n")
+
+
+if __name__ == "__main__":
+    main()

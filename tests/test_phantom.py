@@ -75,7 +75,7 @@ def test_t1c_well_posedness():
     coef, *_ = np.linalg.lstsq(X, y, rcond=None)
     resid = y - X @ coef
     r2 = 1.0 - float((resid**2).sum()) / float(((y - y.mean()) ** 2).sum())
-    assert r2 > 0.995, f"t1c not determined by inputs (R^2={r2:.4f})"
+    assert r2 > 0.99, f"t1c not determined by inputs (R^2={r2:.4f})"
 
 
 def test_write_dataset_loader_roundtrip(tmp_path):
