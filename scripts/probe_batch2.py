@@ -86,7 +86,7 @@ def time_step(label: str, model, diffusion, tx, b: int, accum: int = 1):
     # devtime donates nothing: rebuild fresh state per call is wasteful —
     # measure via the profiler on a second fresh state
     state2 = init_state(model, tx)
-    ms = devtime(step, state2, batch, key)
+    ms = devtime(step, state2, batch, key)["total_ms"]
     print(f"[{label}] device time: {ms:.1f} ms/step", flush=True)
     return {"label": label, "ms_per_step": round(ms, 1), "loss": loss}
 

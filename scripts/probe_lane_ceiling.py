@@ -94,7 +94,7 @@ def main() -> None:
         x = jax.random.normal(key, (1, *L0, ci), jnp.bfloat16)
         w = jax.random.normal(key, (3, 3, 3, ci, co), jnp.bfloat16)
         f = jax.jit(conv)
-        ms = devtime(f, x, w)
+        ms = devtime(f, x, w)["total_ms"]
         flops = 2 * np.prod(L0) * 27 * ci * co
         tfs = flops / (ms * 1e-3) / 1e12
         results[f"conv_{ci}->{co}"] = {
@@ -129,10 +129,10 @@ def main() -> None:
         # fold/unfold amortized away
         return conv(xf, wf)
 
-    ms_plain = devtime(jax.jit(conv), x, w)
-    ms_folded = devtime(folded_conv, x, wf)
+    ms_plain = devtime(jax.jit(conv), x, w)["total_ms"]
+    ms_folded = devtime(folded_conv, x, wf)["total_ms"]
     xf = fold_x(x)
-    ms_folded_ss = devtime(folded_conv_nofold, xf, wf)
+    ms_folded_ss = devtime(folded_conv_nofold, xf, wf)["total_ms"]
     flops = 2 * np.prod(L0) * 27 * 64 * 64
     print(f"plain   64->64: {ms_plain:7.3f} ms "
           f"({flops/(ms_plain*1e-3)/1e12:5.1f} TF/s effective)")

@@ -120,18 +120,41 @@ def ckpt_dir_for(a, schedule: str, steps: int) -> str:
     return os.path.join(a.workdir, f"ckpt_{schedule}_{steps}")
 
 
+def _resume_candidate(a, cdir: str, schedule: str, steps: int) -> str:
+    """Newest restartable checkpoint in ``cdir``: a step-stamped preemption
+    save (params + paired opt blob) beats BEST (params only; opt_best may
+    be stale — `TrainLoop._apply_resume` warns)."""
+    import glob
+
+    from fast_cwdm_tpu.training import checkpoints as ckpt
+
+    stamped = sorted(
+        p
+        for p in glob.glob(
+            os.path.join(cdir, f"brats_{a.contr}_*_{schedule}_{steps}.ckpt")
+        )
+        if ckpt.parse_resume_step_from_filename(p) > 0
+    )
+    if stamped:
+        return max(stamped, key=os.path.getmtime)
+    found = ckpt.find_best_checkpoint(cdir, a.contr)
+    return found[0] if found else ""
+
+
 def stage_train(a, train_dir: str) -> None:
     from fast_cwdm_tpu.cli import train as train_cli
-    from fast_cwdm_tpu.training import checkpoints as ckpt
 
     for spec in a.schedules.split(","):
         schedule, steps_s = spec.split(":")
         steps = int(steps_s)
         cdir = ckpt_dir_for(a, schedule, steps)
-        found = ckpt.find_best_checkpoint(cdir, a.contr)
-        if found:
-            print(f"[train] {spec}: BEST exists ({found[0]}), skipping")
+        done = os.path.join(cdir, ".done")
+        if os.path.exists(done):
+            print(f"[train] {spec}: complete (marker), skipping")
             continue
+        # a BEST checkpoint alone does NOT mean the run finished — BEST is
+        # written every save_interval; resume instead of skipping
+        resume = _resume_candidate(a, cdir, schedule, steps)
         argv = model_flags(a) + [
             f"--data_dir={train_dir}",
             f"--checkpoint_dir={cdir}",
@@ -146,9 +169,13 @@ def stage_train(a, train_dir: str) -> None:
             "--num_workers=4",
             f"--seed={a.seed}",
         ]
+        if resume:
+            argv.append(f"--resume_checkpoint={resume}")
+            print(f"[train] {spec}: resuming from {resume}")
         print(f"[train] {spec}: {a.train_steps} steps → {cdir}")
         t0 = time.perf_counter()
         train_cli.main(argv)
+        open(done, "w").close()
         print(f"[train] {spec} done in {time.perf_counter() - t0:.0f}s")
 
 
