@@ -322,6 +322,21 @@ def render_md(a, rows: list[dict]) -> str:
     return "\n".join(lines)
 
 
+def apply_quick(a) -> None:
+    """Shrink every knob to CPU-smoke scale (numbers are NOT evidence)."""
+    a.train_cases = min(a.train_cases, 3)
+    a.val_cases = min(a.val_cases, 2)
+    a.train_steps = min(a.train_steps, 60)
+    a.save_interval = min(a.save_interval, 30)
+    a.lr = max(a.lr, 1e-4)
+    if a.schedules == "direct:1000,sampled:10":
+        # the linear schedule needs T ≳ 50 (betas scale with 1000/T
+        # and must stay ≤ 1, `gaussian_diffusion.py:39-44`)
+        a.schedules = "direct:100,sampled:4"
+    if a.samplers.startswith("ddpm:full,ddpm:100"):
+        a.samplers = "ddpm:full,ddpm:10,ddim:10,dpm++:5"
+
+
 def main(argv=None) -> None:
     a = parse_args(argv)
     os.makedirs(a.workdir, exist_ok=True)
@@ -333,17 +348,7 @@ def main(argv=None) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        a.train_cases = min(a.train_cases, 3)
-        a.val_cases = min(a.val_cases, 2)
-        a.train_steps = min(a.train_steps, 60)
-        a.save_interval = min(a.save_interval, 30)
-        a.lr = max(a.lr, 1e-4)
-        if a.schedules == "direct:1000,sampled:10":
-            # the linear schedule needs T ≳ 50 (betas scale with 1000/T
-            # and must stay ≤ 1, `gaussian_diffusion.py:39-44`)
-            a.schedules = "direct:100,sampled:4"
-        if a.samplers.startswith("ddpm:full,ddpm:100"):
-            a.samplers = "ddpm:full,ddpm:10,ddim:10,dpm++:5"
+        apply_quick(a)
     train_dir, val_dir = stage_gen(a)
     if "train" in stages:
         stage_train(a, train_dir)

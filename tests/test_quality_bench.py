@@ -1,0 +1,95 @@
+"""Quality-benchmark harness tests: the resumable train stage must survive
+a mid-run kill (tunnel outage / outer timeout SIGTERM) — resuming from the
+newest restartable checkpoint instead of restarting 5000 production steps,
+and never mistaking a mid-run BEST save for a finished run."""
+
+import importlib.util
+import os
+
+import pytest
+
+_QB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts",
+    "quality_bench.py",
+)
+_spec = importlib.util.spec_from_file_location("quality_bench", _QB_PATH)
+qb = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(qb)
+
+
+def _args(tmp_path, **over):
+    argv = [f"--workdir={tmp_path}"]
+    argv += [f"--{k}={v}" for k, v in over.items()]
+    return qb.parse_args(argv)
+
+
+def test_resume_candidate_empty(tmp_path):
+    a = _args(tmp_path)
+    assert qb._resume_candidate(a, str(tmp_path), "direct", 1000) == ""
+
+
+def test_resume_candidate_prefers_step_stamped(tmp_path):
+    a = _args(tmp_path)
+    cdir = str(tmp_path)
+    best = os.path.join(cdir, "brats_t1c_BEST_direct_1000.ckpt")
+    stamped = os.path.join(cdir, "brats_t1c_002500_direct_1000.ckpt")
+    open(best, "w").close()
+    # BEST alone → BEST (params-only resume beats a restart)
+    assert qb._resume_candidate(a, cdir, "direct", 1000) == best
+    open(stamped, "w").close()
+    # a step-stamped preemption save (paired opt blob) beats BEST
+    assert qb._resume_candidate(a, cdir, "direct", 1000) == stamped
+    # the stamped glob is schedule-qualified (the BEST fallback is not —
+    # harmless, since ckpt_dir_for gives every schedule its own dir)
+    assert (
+        qb._resume_candidate(a, cdir, "sampled", 10) != stamped
+    )
+
+
+def test_stage_train_skips_on_done_marker(tmp_path, monkeypatch):
+    a = _args(tmp_path, schedules="direct:1000")
+    cdir = qb.ckpt_dir_for(a, "direct", 1000)
+    os.makedirs(cdir)
+    open(os.path.join(cdir, ".done"), "w").close()
+    # BEST existence alone must NOT skip — only the marker does
+    import fast_cwdm_tpu.cli.train as train_cli
+
+    def boom(argv):
+        raise AssertionError("train must not run when .done exists")
+
+    monkeypatch.setattr(train_cli, "main", boom)
+    qb.stage_train(a, str(tmp_path / "train"))
+
+
+def test_stage_train_passes_resume_flag(tmp_path, monkeypatch):
+    a = _args(tmp_path, schedules="direct:1000")
+    cdir = qb.ckpt_dir_for(a, "direct", 1000)
+    os.makedirs(cdir)
+    stamped = os.path.join(cdir, "brats_t1c_002500_direct_1000.ckpt")
+    open(stamped, "w").close()
+    seen = {}
+    import fast_cwdm_tpu.cli.train as train_cli
+
+    monkeypatch.setattr(
+        train_cli, "main", lambda argv: seen.setdefault("argv", argv)
+    )
+    qb.stage_train(a, str(tmp_path / "train"))
+    assert f"--resume_checkpoint={stamped}" in seen["argv"]
+    # a clean return writes the completion marker
+    assert os.path.exists(os.path.join(cdir, ".done"))
+
+
+def test_quick_mode_never_weakens_to_invalid_schedule():
+    # the linear beta schedule needs T >= ~50 when scaled (betas <= 1);
+    # --quick rewrites the default schedules accordingly
+    a = qb.parse_args(["--workdir=/tmp/x", "--quick"])
+    with pytest.raises(SystemExit):
+        qb.parse_args(["--nonsense"])
+    qb.apply_quick(a)
+    assert a.schedules == "direct:100,sampled:4"
+    assert a.train_steps == 60
+    # explicit schedule choices are respected, only shrunk defaults rewrite
+    b = qb.parse_args(["--workdir=/tmp/x", "--quick", "--schedules=direct:80"])
+    qb.apply_quick(b)
+    assert b.schedules == "direct:80"
