@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import random
+import sys
 
 import numpy as np
 
@@ -41,6 +42,9 @@ def create_argparser() -> argparse.ArgumentParser:
         use_tensorboard=True,
         tensorboard_path="",
         num_workers=0,
+        # memoize preprocessed volumes in host RAM (beyond-reference):
+        # per-epoch gzip decode starves the chip on CPU-poor hosts
+        cache_dataset=False,
         mode="default",
         renormalize=True,
         contr="t1n",
@@ -70,7 +74,7 @@ def create_argparser() -> argparse.ArgumentParser:
     return parser
 
 
-def main(argv=None) -> None:
+def main(argv=None) -> str:
     import jax
 
     from fast_cwdm_tpu.data import BRATSVolumes, LIDCVolumes, iterate_batches
@@ -123,7 +127,9 @@ def main(argv=None) -> None:
     if args.dataset == "lidc-idri":
         dataset = LIDCVolumes(args.data_dir, mode="train")
     else:
-        dataset = BRATSVolumes(args.data_dir, mode="train")
+        dataset = BRATSVolumes(
+            args.data_dir, mode="train", cache=args.cache_dataset
+        )
     logger.log(f"dataset: {len(dataset)} cases from {args.data_dir}")
 
     import itertools
@@ -198,7 +204,11 @@ def main(argv=None) -> None:
         microbatch=args.microbatch,
     )
     loop.run_loop()
+    # harnesses must distinguish "ran to lr_anneal_steps" from "SIGTERM'd
+    # early with a preemption checkpoint" — returning after a trapped
+    # SIGTERM is NOT completion (resume with --resume_checkpoint)
+    return "preempted" if loop.preempted else "completed"
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(143 if main() == "preempted" else 0)

@@ -104,12 +104,24 @@ def parse_seqtype(filename: str) -> str | None:
 
 
 class BRATSVolumes:
-    """Leaf-directory dataset (`bratsloader.py:9-102`)."""
+    """Leaf-directory dataset (`bratsloader.py:9-102`).
 
-    def __init__(self, directory: str, mode: str = "train", gen_type=None):
+    ``cache=True`` memoizes preprocessed modality arrays by path (read-only
+    views; collation copies). For small datasets this removes the per-epoch
+    gzip-decode cost entirely — on a 1-core host the decode otherwise
+    starves the chip (measured: 6.4 s/step data wait vs 0.21 s/step compute
+    on the 24-case phantom run). ~32 MB per modality volume; a 24-case
+    4-modality set caches in ~3.1 GB.
+    """
+
+    def __init__(
+        self, directory: str, mode: str = "train", gen_type=None,
+        cache: bool = False,
+    ):
         self.mode = mode
         self.directory = os.path.expanduser(directory)
         self.gentype = gen_type
+        self._cache: dict[str, np.ndarray] | None = {} if cache else None
         self.database: list[dict[str, str]] = []
         for root, dirs, files in sorted(os.walk(self.directory, followlinks=True)):
             if not dirs:
@@ -124,13 +136,26 @@ class BRATSVolumes:
     def __len__(self) -> int:
         return len(self.database)
 
+    def _load_cached(self, path: str) -> np.ndarray:
+        if self._cache is None:
+            return load_preprocessed(path)
+        vol = self._cache.get(path)
+        if vol is None:
+            vol = load_preprocessed(path)
+            # read-only: every consumer (collation, jnp.asarray) copies;
+            # dict set is GIL-atomic so concurrent loader threads at worst
+            # decode the same path twice, never corrupt
+            vol.setflags(write=False)
+            self._cache[path] = vol
+        return vol
+
     def __getitem__(self, idx: int) -> dict:
         filedict = self.database[idx]
         missing = "none"
         out: dict = {}
         for m in MODALITIES:
             if m in filedict:
-                out[m] = load_preprocessed(filedict[m])
+                out[m] = self._load_cached(filedict[m])
             else:
                 missing = m
                 out[m] = np.zeros((1,), dtype=np.float32)

@@ -71,6 +71,10 @@ def _infinite(iterable_factory: Callable[[], Iterable]) -> Iterator:
 
 
 class TrainLoop:
+    # True iff the last run_loop exited early on a trapped SIGTERM —
+    # callers must treat that as "resume me", never as completion
+    preempted = False
+
     def __init__(
         self,
         *,
@@ -352,6 +356,9 @@ class TrainLoop:
         # thread and the previous disposition is restored on exit.
         import signal
 
+        # harness-visible outcome: True iff the loop exited early on
+        # SIGTERM (callers must NOT treat that return as run completion)
+        self.preempted = False
         preempted = []
         prev_handler = None
         installed = False  # signal.signal may legitimately RETURN None
@@ -540,6 +547,7 @@ class TrainLoop:
                     f"SIGTERM at step {step}: writing preemption "
                     "checkpoint and exiting"
                 )
+                self.preempted = True
                 self.save(step)
                 ckpt.wait_for_pending_saves()
                 return self.state

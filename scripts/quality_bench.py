@@ -167,6 +167,10 @@ def stage_train(a, train_dir: str) -> None:
             f"--save_interval={a.save_interval}",
             "--log_interval=100",
             "--num_workers=4",
+            # 24-case set: host-RAM memoization (~3 GB) — without it the
+            # per-epoch gzip decode starves the chip on this 1-core host
+            # (measured 6.4 s/step data wait vs 0.21 s/step compute)
+            "--cache_dataset=True",
             f"--seed={a.seed}",
         ]
         if resume:
@@ -174,7 +178,14 @@ def stage_train(a, train_dir: str) -> None:
             print(f"[train] {spec}: resuming from {resume}")
         print(f"[train] {spec}: {a.train_steps} steps → {cdir}")
         t0 = time.perf_counter()
-        train_cli.main(argv)
+        status = train_cli.main(argv)
+        if status != "completed":
+            # SIGTERM preemption: a checkpoint was written but the budget
+            # was NOT reached — writing .done here would make the next
+            # invocation skip a half-trained model (that exact bug produced
+            # a step-79 "complete" direct model on 2026-08-19)
+            print(f"[train] {spec}: {status}; exiting for resume")
+            sys.exit(143)
         open(done, "w").close()
         print(f"[train] {spec} done in {time.perf_counter() - t0:.0f}s")
 

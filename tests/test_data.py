@@ -121,6 +121,32 @@ class TestBrats:
         ds = BRATSVolumes(root, mode="eval")
         assert ds[0]["subj"].endswith("t1n.nii.gz")
 
+    def test_cache_hits_skip_decode(self, tmp_path, monkeypatch):
+        root = str(tmp_path / "data")
+        _make_case(os.path.join(root, "00001"), ["t1n", "t1c", "t2w", "t2f"])
+        import fast_cwdm_tpu.data.brats as brats_mod
+
+        calls = {"n": 0}
+        real = brats_mod.load_preprocessed
+
+        def counting(path):
+            calls["n"] += 1
+            return real(path)
+
+        monkeypatch.setattr(brats_mod, "load_preprocessed", counting)
+        ds = BRATSVolumes(root, mode="train", cache=True)
+        first = ds[0]
+        assert calls["n"] == 4
+        again = ds[0]
+        assert calls["n"] == 4  # all four modality decodes memoized
+        for m in ("t1n", "t1c", "t2w", "t2f"):
+            np.testing.assert_array_equal(first[m], again[m])
+            assert not again[m].flags.writeable  # aliased views are read-only
+        # default stays uncached (big real datasets must not accumulate RAM)
+        ds2 = BRATSVolumes(root, mode="train")
+        ds2[0]
+        assert calls["n"] == 8
+
 
 class TestLoader:
     def test_threaded_loader_preserves_order(self):

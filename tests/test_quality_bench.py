@@ -71,13 +71,32 @@ def test_stage_train_passes_resume_flag(tmp_path, monkeypatch):
     seen = {}
     import fast_cwdm_tpu.cli.train as train_cli
 
-    monkeypatch.setattr(
-        train_cli, "main", lambda argv: seen.setdefault("argv", argv)
-    )
+    def fake_main(argv):
+        seen.setdefault("argv", argv)
+        return "completed"
+
+    monkeypatch.setattr(train_cli, "main", fake_main)
     qb.stage_train(a, str(tmp_path / "train"))
     assert f"--resume_checkpoint={stamped}" in seen["argv"]
-    # a clean return writes the completion marker
+    # a completed return writes the completion marker
     assert os.path.exists(os.path.join(cdir, ".done"))
+
+
+def test_stage_train_preemption_is_not_completion(tmp_path, monkeypatch):
+    """A SIGTERM'd training run returns "preempted" after writing its
+    checkpoint; stage_train must NOT write .done (which would make the
+    next invocation skip a half-trained model) and must stop the harness
+    so the outer retry resumes it."""
+    a = _args(tmp_path, schedules="direct:1000")
+    cdir = qb.ckpt_dir_for(a, "direct", 1000)
+    os.makedirs(cdir)
+    import fast_cwdm_tpu.cli.train as train_cli
+
+    monkeypatch.setattr(train_cli, "main", lambda argv: "preempted")
+    with pytest.raises(SystemExit) as ei:
+        qb.stage_train(a, str(tmp_path / "train"))
+    assert ei.value.code == 143
+    assert not os.path.exists(os.path.join(cdir, ".done"))
 
 
 def test_quick_mode_never_weakens_to_invalid_schedule():
