@@ -207,8 +207,41 @@ def _sampler_legs(a):
     return legs
 
 
+def quality_json_path(a) -> str:
+    return os.path.join(a.workdir, "quality.json")
+
+
+def load_rows(a) -> list[dict]:
+    path = quality_json_path(a)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f).get("rows", [])
+    return []
+
+
+def dump_rows(a, rows: list[dict]) -> None:
+    """Write quality.json atomically after EVERY row so a mid-eval kill
+    (tunnel outage / outer timeout) loses at most one sampler leg."""
+    path = quality_json_path(a)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "contr": a.contr,
+                "train_cases": a.train_cases,
+                "val_cases": a.val_cases,
+                "train_steps": a.train_steps,
+                "quick": a.quick,
+                "rows": rows,
+            },
+            f, indent=2,
+        )
+    os.replace(tmp, path)
+
+
 def stage_eval(a, val_dir: str) -> list[dict]:
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from fast_cwdm_tpu.cli import common
@@ -219,6 +252,10 @@ def stage_eval(a, val_dir: str) -> list[dict]:
     from fast_cwdm_tpu.training import checkpoints as ckpt
 
     crop_z = min(PROD_Z, phantom_shape(a)[2])
+    rows: list[dict] = load_rows(a)
+    done_keys = {(r["model"], r["leg"]) for r in rows}
+    if rows:
+        print(f"[eval] resuming: {len(rows)} rows already in quality.json")
     ds = BRATSVolumes(val_dir, mode="eval")
     cases = []
     for i in range(len(ds)):
@@ -233,8 +270,9 @@ def stage_eval(a, val_dir: str) -> list[dict]:
     print(f"[eval] {len(cases)} held-out cases, target {a.contr}")
 
     # context rows: how well does trivially COPYING an input score?
-    rows: list[dict] = []
     for m in condition_order(a.contr):
+        if ("-", f"copy-{m}") in done_keys:
+            continue
         vals = [
             ssim3d(c[3][m][0, ..., 0][:, :, :crop_z], c[2]) for c in cases
         ]
@@ -247,6 +285,7 @@ def stage_eval(a, val_dir: str) -> list[dict]:
             ])),
             "s_per_volume": None,
         })
+        dump_rows(a, rows)
 
     # parse the model flags once through the train CLI's own parser so the
     # eval model config can never drift from the trained one
@@ -271,6 +310,9 @@ def stage_eval(a, val_dir: str) -> list[dict]:
             else [(f"{schedule}-{steps}", "ddpm", "", None)]
         )
         for label, sampler, respacing, dpm_steps in legs:
+            if (f"{schedule}-{steps}", label) in done_keys:
+                print(f"[eval] {schedule}-{steps}/{label}: done, skipping")
+                continue
             cfg = {
                 k: v
                 for k, v in vars(a_args).items()
@@ -296,6 +338,12 @@ def stage_eval(a, val_dir: str) -> list[dict]:
             for idx, (cond, mask, gt, _) in enumerate(cases):
                 t0 = time.perf_counter()
                 out = synth(cond, mask, jax.random.fold_in(key, idx))
+                # force completion with a tiny DEPENDENT fetch inside the
+                # timed region: synth dispatch is async, block_until_ready
+                # can return early through the tunnel, and a full-volume
+                # np.asarray adds ~5-7 s of transfer that would dwarf
+                # short chains (PERF.md timing footgun)
+                float(np.asarray(jnp.sum(out[..., :1, :1, :1])))
                 wall = time.perf_counter() - t0
                 sample = np.asarray(out)[0]
                 ssims.append(ssim3d(sample, gt))
@@ -314,6 +362,7 @@ def stage_eval(a, val_dir: str) -> list[dict]:
                 ),
             }
             rows.append(row)
+            dump_rows(a, rows)
             print("[eval]", json.dumps(row))
     return rows
 
@@ -365,22 +414,10 @@ def main(argv=None) -> None:
         stage_train(a, train_dir)
     if "eval" in stages:
         rows = stage_eval(a, val_dir)
-        out = os.path.join(a.workdir, "quality.json")
-        with open(out, "w") as f:
-            json.dump(
-                {
-                    "contr": a.contr,
-                    "train_cases": a.train_cases,
-                    "val_cases": a.val_cases,
-                    "train_steps": a.train_steps,
-                    "quick": a.quick,
-                    "rows": rows,
-                },
-                f, indent=2,
-            )
+        dump_rows(a, rows)
         md = render_md(a, rows)
         print(md)
-        print(f"[quality] wrote {out}")
+        print(f"[quality] wrote {quality_json_path(a)}")
         if a.write_md:
             with open(a.write_md, "a") as f:
                 f.write("\n" + md + "\n")

@@ -99,6 +99,26 @@ def test_stage_train_preemption_is_not_completion(tmp_path, monkeypatch):
     assert not os.path.exists(os.path.join(cdir, ".done"))
 
 
+def test_eval_rows_roundtrip_and_resume(tmp_path):
+    """quality.json is written after every row (atomic) and reloaded on
+    resume, so a mid-eval kill loses at most one sampler leg."""
+    a = _args(tmp_path)
+    assert qb.load_rows(a) == []
+    rows = [
+        {"model": "-", "leg": "copy-t1n", "evals": 0, "ssim_mean": 0.5,
+         "ssim_min": 0.4, "psnr_mean": 20.0, "s_per_volume": None},
+        {"model": "direct-1000", "leg": "ddpm-100", "evals": 100,
+         "ssim_mean": 0.9, "ssim_min": 0.8, "psnr_mean": 30.0,
+         "s_per_volume": 12.9},
+    ]
+    qb.dump_rows(a, rows)
+    assert qb.load_rows(a) == rows
+    assert not os.path.exists(qb.quality_json_path(a) + ".tmp")
+    # the resume key set matches what stage_eval skips on
+    done = {(r["model"], r["leg"]) for r in qb.load_rows(a)}
+    assert ("direct-1000", "ddpm-100") in done
+
+
 def test_quick_mode_never_weakens_to_invalid_schedule():
     # the linear beta schedule needs T >= ~50 when scaled (betas <= 1);
     # --quick rewrites the default schedules accordingly
