@@ -251,6 +251,11 @@ def stage_eval(a, val_dir: str) -> list[dict]:
     from fast_cwdm_tpu.models import model_and_diffusion_defaults
     from fast_cwdm_tpu.training import checkpoints as ckpt
 
+    # persistent XLA cache: a resumed eval must not recompile finished
+    # legs' programs (each sampling-scan compile is ~10-15 min through
+    # the axon tunnel); the train CLI enables this itself
+    common.enable_compile_cache()
+
     crop_z = min(PROD_Z, phantom_shape(a)[2])
     rows: list[dict] = load_rows(a)
     done_keys = {(r["model"], r["leg"]) for r in rows}
