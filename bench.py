@@ -279,6 +279,13 @@ def main():
             ),
             "dpm_s_per_volume": round(dpm_s / b, 3) if dpm_s else None,
             "dpm_steps": args.dpm or None,
+            # the matched-quality operating point: QUALITY.md measures
+            # DPM++ at this eval budget against the DDPM-100 headline on
+            # the phantom benchmark; this ratio is the speedup vs the
+            # faithful reference leg at that operating point
+            "dpm_vs_baseline": (
+                round(base_s / dpm_s, 3) if dpm_s and base_s else None
+            ),
             "device": str(jax.devices()[0]),
             "baseline_mode": (
                 "faithful: reference execution shape (fp32, full-spatial "
