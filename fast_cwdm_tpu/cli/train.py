@@ -45,6 +45,10 @@ def create_argparser() -> argparse.ArgumentParser:
         # memoize preprocessed volumes in host RAM (beyond-reference):
         # per-epoch gzip decode starves the chip on CPU-poor hosts
         cache_dataset=False,
+        # pin the whole dataset in device HBM (beyond-reference): zero
+        # H2D bytes per step for datasets that fit (~131 MB/case);
+        # single-process runs only — see data/loader.py
+        device_cache=False,
         mode="default",
         renormalize=True,
         contr="t1n",
@@ -162,6 +166,29 @@ def main(argv=None) -> str:
                 if len(buf) == local_bs:
                     yield np.stack(buf)
                     buf = []
+    elif args.device_cache:
+        if mesh is not None:
+            # sharded runs assemble/shard HOST batches (TrainLoop._put →
+            # shard_batch); pinning replicated copies per device is a
+            # different feature — fail loudly rather than silently
+            # round-tripping pinned arrays through the host
+            raise ValueError(
+                "--device_cache is a single-device input path; sharded "
+                "runs feed host batches through shard_batch (drop the "
+                "flag or the mesh)"
+            )
+        from fast_cwdm_tpu.data.loader import device_resident_batches
+
+        hbm_cache: dict = {}
+
+        def data():
+            # whole dataset pinned in HBM after the first epoch — zero
+            # H2D bytes per step (same batch sequence as iterate_batches)
+            return device_resident_batches(
+                dataset, args.batch_size, shuffle=True,
+                seed=args.seed + next(epoch_counter),
+                cache=hbm_cache,
+            )
     else:
         def data():
             # threaded NIfTI decode (the reference's DataLoader runs

@@ -156,6 +156,78 @@ def iter_items(dataset, order, num_workers: int = 0) -> Iterator:
     return (dataset[int(i)] for i in order)
 
 
+def device_resident_batches(
+    dataset,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_last: bool = True,
+    keys=None,
+    cache: dict | None = None,
+) -> Iterator[dict]:
+    """One epoch of batches whose arrays are already HBM-resident.
+
+    The TPU-idiomatic answer to per-step H2D for datasets that fit in
+    device memory: each distinct case is decoded and `jax.device_put`
+    ONCE (first epoch), then every later epoch serves the pinned arrays —
+    zero host→device bytes per step. A 24-case BraTS fine-tune is
+    4×32 MB×24 ≈ 3.1 GB, far under one v5e's 16 GB HBM, while the
+    per-step transfer it replaces measured 1-2.6 s through a tunneled
+    backend (PERF.md round-3 training analysis); on PCIe hosts it still
+    removes ~128 MB/step of bus traffic.
+
+    Pass the SAME ``cache`` dict across epochs (the caller owns it and
+    with it the pinned memory's lifetime). The yielded batch sequence is
+    identical to `iterate_batches(shuffle=..., seed=...)` — same
+    permutation, same collation — so switching the flag changes nothing
+    about the training stream (regression-tested). Single-process input
+    feeding only: the multi-host `rows=` sharding contract keeps batches
+    host-side by design (`TrainLoop._put` assembles the global array).
+    """
+    import jax.numpy as jnp
+
+    from fast_cwdm_tpu.data.brats import MODALITIES
+
+    keys = MODALITIES if keys is None else keys
+    cache = {} if cache is None else cache
+
+    def cached(i: int) -> dict:
+        got = cache.get(i)
+        if got is None:
+            item = dataset[int(i)]
+            if item.get("missing", "none") in keys:
+                where = item.get("filedict") or item.get("subj") or "?"
+                raise ValueError(
+                    f"case is missing modality {item['missing']!r} but "
+                    f"batches collate keys {tuple(keys)}; offending case "
+                    f"files: {where}"
+                )
+            # cache WITH the leading batch dim: at batch_size 1 a step's
+            # batch then IS the cached pytree — no per-step device work
+            got = {
+                k: jax.device_put(np.asarray(item[k])[None]) for k in keys
+            }
+            cache[i] = got
+        return got
+
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    n_full = len(order) // batch_size
+    if not drop_last and len(order) % batch_size:
+        n_full += 1
+    for b in range(n_full):
+        idxs = order[b * batch_size : (b + 1) * batch_size]
+        items = [cached(i) for i in idxs]
+        if len(items) == 1:
+            yield items[0]
+        else:
+            yield {
+                k: jnp.concatenate([it[k] for it in items]) for k in keys
+            }
+
+
 def prefetch_to_device(
     iterator: Iterable,
     *,

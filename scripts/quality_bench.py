@@ -167,10 +167,12 @@ def stage_train(a, train_dir: str) -> None:
             f"--save_interval={a.save_interval}",
             "--log_interval=100",
             "--num_workers=4",
-            # 24-case set: host-RAM memoization (~3 GB) — without it the
-            # per-epoch gzip decode starves the chip on this 1-core host
-            # (measured 6.4 s/step data wait vs 0.21 s/step compute)
-            "--cache_dataset=True",
+            # 24-case set fits in HBM (~3.1 GB): decode each case once,
+            # pin it on device, zero H2D bytes per step. Host-RAM-only
+            # caching (--cache_dataset) still left the per-step 131 MB
+            # transfer dominating wall time through the tunnel (measured
+            # 1-2.6 s/step vs 0.65 s/step compute, PERF.md round 3)
+            "--device_cache=True",
             f"--seed={a.seed}",
         ]
         if resume:

@@ -182,6 +182,46 @@ class TestLoader:
         with pytest.raises(ValueError, match="missing modality 't1c'"):
             list(iterate_batches(ds, 2, drop_last=False))
 
+    def test_device_resident_batches_matches_host_path(self, tmp_path):
+        """--device_cache must not change the training stream: same
+        permutation, same collation, same values as iterate_batches —
+        only the residency differs."""
+        from fast_cwdm_tpu.data.loader import device_resident_batches
+
+        root = str(tmp_path / "data")
+        for i in range(5):
+            _make_case(
+                os.path.join(root, f"0000{i}"), ["t1n", "t1c", "t2w", "t2f"]
+            )
+        ds = BRATSVolumes(root)
+        cache: dict = {}
+        for epoch, bs in ((0, 1), (1, 2)):
+            host = list(iterate_batches(ds, bs, shuffle=True, seed=epoch))
+            dev = list(
+                device_resident_batches(
+                    ds, bs, shuffle=True, seed=epoch, cache=cache
+                )
+            )
+            assert len(host) == len(dev)
+            for hb, db in zip(host, dev):
+                for k in hb:
+                    np.testing.assert_array_equal(hb[k], np.asarray(db[k]))
+        # every case decoded exactly once: epoch 2 serves pinned arrays
+        assert len(cache) == 5
+        first = {i: v["t1n"] for i, v in cache.items()}
+        list(device_resident_batches(ds, 1, shuffle=True, seed=7, cache=cache))
+        for i in cache:
+            assert cache[i]["t1n"] is first[i]
+
+    def test_device_resident_batches_names_incomplete_case(self, tmp_path):
+        from fast_cwdm_tpu.data.loader import device_resident_batches
+
+        root = str(tmp_path / "data")
+        _make_case(os.path.join(root, "00001"), ["t1n", "t2w", "t2f"])
+        ds = BRATSVolumes(root)
+        with pytest.raises(ValueError, match="missing modality 't1c'"):
+            list(device_resident_batches(ds, 1))
+
     def test_prefetch_to_device(self):
         batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(5)]
         out = list(prefetch_to_device(iter(batches), size=2))
