@@ -49,6 +49,10 @@ def create_argparser() -> argparse.ArgumentParser:
         # H2D bytes per step for datasets that fit (~131 MB/case);
         # single-process runs only — see data/loader.py
         device_cache=False,
+        # -1 = factory default (selective remat, ds<=1). 0 remats EVERY
+        # block: ~2.5% slower step, several GB less live activation
+        # memory — pair with --device_cache on one chip
+        remat_max_ds=-1,
         mode="default",
         renormalize=True,
         contr="t1n",
@@ -111,6 +115,8 @@ def main(argv=None) -> str:
     cfg = args_to_dict(args, model_and_diffusion_defaults().keys())
     if args.mode == "i2i":
         cfg["in_channels"] = 32  # 8 target + 3×8 condition subbands
+    if args.remat_max_ds >= 0:
+        cfg["remat_max_ds"] = args.remat_max_ds
     model, diffusion = create_model_and_diffusion(**cfg)
 
     mesh = None

@@ -158,6 +158,7 @@ def create_model(
     additive_skips=False,
     use_freq=False,
     dtype=None,
+    remat_max_ds=None,
 ):
     """Flag-compatible model constructor (`script_util.py:190-292`).
 
@@ -238,8 +239,11 @@ def create_model(
         # full-resolution blocks in the backward pass — deeper levels hold
         # ≤1/8 the activation bytes, so saving them costs little HBM and
         # skips their recompute (production train step 651.8 → 635.9 ms
-        # device time; no-remat OOMs the chip — PERF.md round 2)
-        remat_max_ds=1,
+        # device time; no-remat OOMs the chip — PERF.md round 2).
+        # remat_max_ds=0 remats EVERY block (~16 ms/step slower, several
+        # GB less live activation memory) — the right trade when HBM is
+        # needed elsewhere, e.g. a --device_cache pinned dataset.
+        remat_max_ds=(1 if remat_max_ds is None else int(remat_max_ds)),
         **common,
     )
 
@@ -320,6 +324,7 @@ def create_model_and_diffusion(**cfg):
         additive_skips=merged["additive_skips"],
         use_freq=merged["use_freq"],
         dtype=merged.get("dtype"),
+        remat_max_ds=merged.get("remat_max_ds"),
     )
     diffusion = create_gaussian_diffusion(
         steps=merged["diffusion_steps"],

@@ -173,6 +173,11 @@ def stage_train(a, train_dir: str) -> None:
             # transfer dominating wall time through the tunnel (measured
             # 1-2.6 s/step vs 0.65 s/step compute, PERF.md round 3)
             "--device_cache=True",
+            # the pinned dataset needs the activation HBM back: remat
+            # EVERY block (~2.5% slower step). Selective remat (factory
+            # default ds<=1) + pinned dataset OOMs the chip — measured,
+            # PERF.md round 3
+            "--remat_max_ds=0",
             f"--seed={a.seed}",
         ]
         if resume:

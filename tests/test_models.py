@@ -250,6 +250,24 @@ class TestFactory:
         }
         assert expected <= keys
 
+    def test_remat_max_ds_threads_through_factory(self):
+        """remat_max_ds=0 (remat every block) must reach the model: the
+        selective default (ds<=1) plus a --device_cache pinned dataset
+        OOMs one chip (PERF.md round 3), so the flag is load-bearing."""
+        from fast_cwdm_tpu.models.factory import create_model
+
+        base = dict(
+            image_size=16, num_channels=8, num_res_blocks=1,
+            channel_mult="1,2", attention_resolutions="", num_groups=4,
+            dims=3, in_channels=8, out_channels=8,
+        )
+        assert create_model(**base).remat_max_ds == 1  # factory default
+        assert create_model(**base, remat_max_ds=0).remat_max_ds == 0
+        m, _ = create_model_and_diffusion(
+            **{**base, "channel_mult": "1,2"}, remat_max_ds=0
+        )
+        assert m.remat_max_ds == 0
+
     def test_create_model_and_diffusion_production_flags(self):
         """run.sh production flag bundle builds the right model/diffusion."""
         model, diffusion = create_model_and_diffusion(
