@@ -93,7 +93,15 @@ def main():
                          "evaluations (default 25 — the framework's best "
                          "throughput story belongs on the scoreboard; 0 "
                          "disables; fresh ~4-min compile on a cold cache)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin to host CPU (orchestration validation only — "
+                         "numbers are meaningless). In-process pin because "
+                         "the axon plugin ignores JAX_PLATFORMS=cpu, and a "
+                         "second process on the chip silently starves a "
+                         "running one (verify-skill gotcha)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.skip_baseline:
         args.baseline = "none"
 
