@@ -44,8 +44,11 @@ sys.path.insert(0, "/root/repo")
 import jax
 
 # persistent compile cache: repeat bench runs (e.g. the driver's) skip the
-# ~10-minute production-scan compiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# ~10-minute production-scan compiles. Inside the repo (gitignored) because
+# /tmp is wiped between driver sessions while the repo persists.
+jax.config.update(
+    "jax_compilation_cache_dir", "/root/repo/.xla_cache/tpu"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import jax.numpy as jnp

@@ -28,7 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("FAST_CWDM_COMPILE_CACHE", "/root/repo/.xla_cache/tpu"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import jax.numpy as jnp
@@ -83,8 +86,13 @@ def time_step(label: str, model, diffusion, tx, b: int, accum: int = 1):
     new_state, metrics = step(state, batch, key)
     loss = float(jax.device_get(metrics["loss"]))
     print(f"[{label}] first step OK, loss={loss:.5f}", flush=True)
-    # devtime donates nothing: rebuild fresh state per call is wasteful —
-    # measure via the profiler on a second fresh state
+    # free the first step's buffers BEFORE building the profiling state:
+    # at production shapes two live states + the compiled step's workspace
+    # exceed HBM (observed RESOURCE_EXHAUSTED on the batch-1 leg)
+    import gc
+
+    del state, new_state, metrics
+    gc.collect()
     state2 = init_state(model, tx)
     ms = devtime(step, state2, batch, key)["total_ms"]
     print(f"[{label}] device time: {ms:.1f} ms/step", flush=True)
