@@ -66,6 +66,12 @@ def parse_args(argv=None):
     )
     ap.add_argument("--write_md", default="",
                     help="also append the results table to this markdown file")
+    ap.add_argument(
+        "--ema_rows", type=lambda s: s.lower() not in ("0", "false", ""),
+        default=True,
+        help="add one EMA-weights row per model on its headline leg "
+        "(free: the compiled program takes params as arguments)",
+    )
     return ap.parse_args(argv)
 
 
@@ -321,7 +327,21 @@ def stage_eval(a, val_dir: str) -> list[dict]:
             if schedule == "direct"
             else [(f"{schedule}-{steps}", "ddpm", "", None)]
         )
-        for label, sampler, respacing, dpm_steps in legs:
+        # one EMA-weights row per model on its headline leg (direct →
+        # ddpm-100 if requested, else the first leg; sampled → its native
+        # chain): the synthesis program takes params as jit ARGUMENTS, so
+        # an extra parameter set reuses the already-compiled leg for free.
+        # The reference parses ema_rate but never maintains shadows
+        # (SURVEY §2.4 "EMA is vestigial"); this measures whether the real
+        # EMA this framework keeps actually helps at the 5000-step budget
+        if a.ema_rows:
+            head = next(
+                (l for l in legs if l[0] == "ddpm-100"), legs[0]
+            )
+            legs = legs + [(head[0] + "+ema", *head[1:], True)]
+        for leg_tuple in legs:
+            label, sampler, respacing, dpm_steps = leg_tuple[:4]
+            use_ema = len(leg_tuple) == 5
             if (f"{schedule}-{steps}", label) in done_keys:
                 print(f"[eval] {schedule}-{steps}/{label}: done, skipping")
                 continue
@@ -335,7 +355,7 @@ def stage_eval(a, val_dir: str) -> list[dict]:
                 timestep_respacing=respacing,
             )
             model, diffusion = common.build_model_and_diffusion(cfg)
-            params = common.load_params(path, model, use_ema=False)
+            params = common.load_params(path, model, use_ema=use_ema)
             synth = common.make_synthesis_fn(
                 model, params, diffusion, crop_z=crop_z,
                 sampler=sampler, sampler_steps=dpm_steps,
