@@ -36,20 +36,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
 # persistent compile cache: repeat bench runs (e.g. the driver's) skip the
-# ~10-minute production-scan compiles. Inside the repo (gitignored) because
-# /tmp is wiped between driver sessions while the repo persists.
-jax.config.update(
-    "jax_compilation_cache_dir", "/root/repo/.xla_cache/tpu"
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+# ~10-minute production-scan compiles. Repo-local (gitignored) because
+# /tmp is wiped between driver sessions while the repo persists; honors
+# FAST_CWDM_COMPILE_CACHE like every CLI (round-3 advisor: one cache, not
+# one per entry point).
+from fast_cwdm_tpu.cli.common import enable_compile_cache
+
+enable_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np

@@ -45,6 +45,24 @@ PRODUCTION_OVERRIDES = dict(
 )
 
 
+def str2bool(s) -> bool:
+    """Shared falsy convention: ``0/false/no/off/none/""`` (any case) are
+    False, everything else True — matches ``FAST_CWDM_COMPILE_CACHE``."""
+    if isinstance(s, bool):
+        return s
+    return str(s).lower() not in ("0", "false", "no", "off", "none", "")
+
+
+def default_compile_cache_dir() -> str:
+    """Repo-local ``.xla_cache/tpu`` — ONE warm cache shared by the CLIs,
+    bench.py, __graft_entry__.py and the probe scripts, derived from this
+    file's location so it works wherever the repo lives."""
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo, ".xla_cache", "tpu")
+
+
 def enable_compile_cache() -> None:
     """Point XLA's persistent compilation cache at a durable directory.
 
@@ -56,12 +74,10 @@ def enable_compile_cache() -> None:
     set it to ``0``/``off`` to disable (e.g. on read-only filesystems).
     """
     loc = os.environ.get("FAST_CWDM_COMPILE_CACHE", "")
-    if loc.lower() in ("0", "off", "none"):
+    if loc and not str2bool(loc):
         return
     if not loc:
-        loc = os.path.join(
-            os.path.expanduser("~"), ".cache", "fast_cwdm_tpu", "xla"
-        )
+        loc = default_compile_cache_dir()
     try:
         os.makedirs(loc, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)
@@ -115,6 +131,15 @@ def load_params(path: str, model, *, use_ema: bool = False):
     """Load sampling params from a framework ``.ckpt`` or reference-format
     torch ``.pt``. ``use_ema`` that cannot be honored (no EMA shadows in
     the file) is reported, never silently ignored."""
+    return load_params_ex(path, model, use_ema=use_ema)[0]
+
+
+def load_params_ex(path: str, model, *, use_ema: bool = False):
+    """Like :func:`load_params` but returns ``(params, ema_applied)`` so
+    callers can SKIP or relabel an EMA leg instead of silently recording
+    raw-weight results under an ``+ema`` label (round-3 advisor finding:
+    a quality row that reads "EMA makes no difference" when the truth is
+    "EMA absent" is a measurement bug)."""
     if path.endswith(".pt"):
         from fast_cwdm_tpu.training import bridge
 
@@ -123,7 +148,7 @@ def load_params(path: str, model, *, use_ema: bool = False):
                 f"[load_params] WARNING: {path} is a torch state_dict with "
                 "no EMA shadows; using the raw parameters"
             )
-        return bridge.load_torch_unet(path, model)
+        return bridge.load_torch_unet(path, model), False
     from fast_cwdm_tpu.training import orbax_io
 
     # settle in-flight async saves BEFORE sniffing the format: a
@@ -135,24 +160,24 @@ def load_params(path: str, model, *, use_ema: bool = False):
         ema = tuple(loaded.get("ema_params") or ())
         if use_ema:
             if ema:
-                return ema[0]
+                return ema[0], True
             print(
                 f"[load_params] WARNING: {path} has no EMA shadows; "
                 "using the raw parameters"
             )
-        return loaded["params"]
+        return loaded["params"], False
     # checkpoints may carry 0..N EMA shadows — shared probe with
     # TrainLoop._apply_resume (checkpoints.load_with_ema_probe); IO
     # problems (missing file, permissions) surface as themselves
     loaded = ckpt.load_with_ema_probe(path, param_template(model))
     if use_ema:
         if loaded.get("ema_params"):
-            return loaded["ema_params"][0]
+            return loaded["ema_params"][0], True
         print(
             f"[load_params] WARNING: {path} has no EMA shadows; "
             "using the raw parameters"
         )
-    return loaded["params"]
+    return loaded["params"], False
 
 
 _COND_JIT: dict[str, object] = {}

@@ -28,12 +28,22 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PROD_Z = 155
+_T0 = time.monotonic()
+
+
+def _wall_remaining(a) -> float:
+    """Seconds left in the --max_wall_hours budget (inf when unset)."""
+    if not a.max_wall_hours:
+        return float("inf")
+    return a.max_wall_hours * 3600.0 - (time.monotonic() - _T0)
 
 
 def parse_args(argv=None):
@@ -66,11 +76,19 @@ def parse_args(argv=None):
     )
     ap.add_argument("--write_md", default="",
                     help="also append the results table to this markdown file")
+    from fast_cwdm_tpu.cli.common import str2bool
+
     ap.add_argument(
-        "--ema_rows", type=lambda s: s.lower() not in ("0", "false", ""),
-        default=True,
+        "--ema_rows", type=str2bool, default=True,
         help="add one EMA-weights row per model on its headline leg "
         "(free: the compiled program takes params as arguments)",
+    )
+    ap.add_argument(
+        "--max_wall_hours", type=float, default=0.0,
+        help="wall-clock budget for THIS invocation; when a training leg "
+        "would outlive it, the leg is SIGTERM'd (checkpoint-and-exit) and "
+        "the harness exits 143 so the operator relaunches to resume "
+        "(docs/RUNBOOK.md)",
     )
     return ap.parse_args(argv)
 
@@ -147,9 +165,53 @@ def _resume_candidate(a, cdir: str, schedule: str, steps: int) -> str:
     return found[0] if found else ""
 
 
-def stage_train(a, train_dir: str) -> None:
-    from fast_cwdm_tpu.cli import train as train_cli
+def _run_train_leg(a, argv: list[str]) -> str:
+    """Run ONE training leg in a fresh subprocess.
 
+    Process isolation is load-bearing, not style: the round-3 run trained
+    direct:1000 to completion and then died RESOURCE_EXHAUSTED the moment
+    sampled:10 started, because model 1's HBM (device-cached dataset +
+    donated train state + live executables) is only guaranteed released
+    when its process exits. ``python -m fast_cwdm_tpu.cli.train`` exits
+    0 on completion and 143 on SIGTERM-preemption (`cli/train.py:247`),
+    which is exactly the status contract the in-process call returned.
+
+    ``--max_wall_hours``: when the leg outlives the remaining budget the
+    child gets SIGTERM — the TrainLoop traps it, writes a step-stamped
+    checkpoint and exits 143 — and we report "preempted".
+    """
+    if a.quick:
+        # CPU smoke must stay in-process: the subprocess would grab the
+        # real chip (the axon plugin ignores JAX_PLATFORMS=cpu; the
+        # in-process pin in main() is the only reliable switch)
+        from fast_cwdm_tpu.cli import train as train_cli
+
+        return train_cli.main(argv)
+    cmd = [sys.executable, "-m", "fast_cwdm_tpu.cli.train"] + argv
+    env = dict(os.environ)
+    env.setdefault("FAST_CWDM_COMPILE_CACHE", "")  # default repo-local
+    proc = subprocess.Popen(cmd, env=env, cwd=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    budget = _wall_remaining(a)
+    try:
+        rc = proc.wait(timeout=budget if budget != float("inf") else None)
+    except subprocess.TimeoutExpired:
+        print(f"[train] wall budget exhausted; SIGTERM → checkpoint+exit")
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=600)  # a production save is ~30 s
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+        return "preempted"
+    if rc == 0:
+        return "completed"
+    if rc == 143:
+        return "preempted"
+    return f"failed(rc={rc})"
+
+
+def stage_train(a, train_dir: str) -> None:
     for spec in a.schedules.split(","):
         schedule, steps_s = spec.split(":")
         steps = int(steps_s)
@@ -191,7 +253,7 @@ def stage_train(a, train_dir: str) -> None:
             print(f"[train] {spec}: resuming from {resume}")
         print(f"[train] {spec}: {a.train_steps} steps → {cdir}")
         t0 = time.perf_counter()
-        status = train_cli.main(argv)
+        status = _run_train_leg(a, argv)
         if status != "completed":
             # SIGTERM preemption: a checkpoint was written but the budget
             # was NOT reached — writing .done here would make the next
@@ -203,18 +265,27 @@ def stage_train(a, train_dir: str) -> None:
         print(f"[train] {spec} done in {time.perf_counter() - t0:.0f}s")
 
 
-def _sampler_legs(a):
-    """(label, sampler, respacing, dpm_steps) per requested sampler."""
+def _leg(label, sampler, respacing, dpm_steps, use_ema=False) -> dict:
+    """Every leg carries an EXPLICIT use_ema field (round-3 advisor: the
+    old len(tuple)==5 arity sniff would silently flip EMA on for any
+    future extra field)."""
+    return {
+        "label": label, "sampler": sampler, "respacing": respacing,
+        "dpm_steps": dpm_steps, "use_ema": use_ema,
+    }
+
+
+def _sampler_legs(a) -> list[dict]:
     legs = []
     for spec in a.samplers.split(","):
         sampler, steps_s = spec.split(":")
         if sampler == "ddpm":
             resp = "" if steps_s == "full" else steps_s
-            legs.append((f"ddpm-{steps_s}", "ddpm", resp, None))
+            legs.append(_leg(f"ddpm-{steps_s}", "ddpm", resp, None))
         elif sampler == "ddim":
-            legs.append((f"ddim-{steps_s}", "ddim", f"ddim{steps_s}", None))
+            legs.append(_leg(f"ddim-{steps_s}", "ddim", f"ddim{steps_s}", None))
         elif sampler == "dpm++":
-            legs.append((f"dpm++-{steps_s}", "dpm++", "", int(steps_s)))
+            legs.append(_leg(f"dpm++-{steps_s}", "dpm++", "", int(steps_s)))
         else:
             raise ValueError(f"unknown sampler {sampler!r}")
     return legs
@@ -325,7 +396,7 @@ def stage_eval(a, val_dir: str) -> list[dict]:
         legs = (
             _sampler_legs(a)
             if schedule == "direct"
-            else [(f"{schedule}-{steps}", "ddpm", "", None)]
+            else [_leg(f"{schedule}-{steps}", "ddpm", "", None)]
         )
         # one EMA-weights row per model on its headline leg (direct →
         # ddpm-100 if requested, else the first leg; sampled → its native
@@ -336,12 +407,14 @@ def stage_eval(a, val_dir: str) -> list[dict]:
         # EMA this framework keeps actually helps at the 5000-step budget
         if a.ema_rows:
             head = next(
-                (l for l in legs if l[0] == "ddpm-100"), legs[0]
+                (l for l in legs if l["label"] == "ddpm-100"), legs[0]
             )
-            legs = legs + [(head[0] + "+ema", *head[1:], True)]
-        for leg_tuple in legs:
-            label, sampler, respacing, dpm_steps = leg_tuple[:4]
-            use_ema = len(leg_tuple) == 5
+            legs = legs + [dict(head, label=head["label"] + "+ema",
+                                use_ema=True)]
+        for leg in legs:
+            label, sampler = leg["label"], leg["sampler"]
+            respacing, dpm_steps = leg["respacing"], leg["dpm_steps"]
+            use_ema = leg["use_ema"]
             if (f"{schedule}-{steps}", label) in done_keys:
                 print(f"[eval] {schedule}-{steps}/{label}: done, skipping")
                 continue
@@ -355,7 +428,15 @@ def stage_eval(a, val_dir: str) -> list[dict]:
                 timestep_respacing=respacing,
             )
             model, diffusion = common.build_model_and_diffusion(cfg)
-            params = common.load_params(path, model, use_ema=use_ema)
+            params, ema_applied = common.load_params_ex(
+                path, model, use_ema=use_ema
+            )
+            if use_ema and not ema_applied:
+                # recording raw weights under an '+ema' label would read
+                # as "EMA makes no difference" — skip with a visible note
+                print(f"[eval] {schedule}-{steps}/{label}: checkpoint has "
+                      "no EMA shadows — row skipped")
+                continue
             synth = common.make_synthesis_fn(
                 model, params, diffusion, crop_z=crop_z,
                 sampler=sampler, sampler_steps=dpm_steps,

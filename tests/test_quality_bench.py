@@ -69,13 +69,12 @@ def test_stage_train_passes_resume_flag(tmp_path, monkeypatch):
     stamped = os.path.join(cdir, "brats_t1c_002500_direct_1000.ckpt")
     open(stamped, "w").close()
     seen = {}
-    import fast_cwdm_tpu.cli.train as train_cli
 
-    def fake_main(argv):
+    def fake_leg(a_, argv):
         seen.setdefault("argv", argv)
         return "completed"
 
-    monkeypatch.setattr(train_cli, "main", fake_main)
+    monkeypatch.setattr(qb, "_run_train_leg", fake_leg)
     qb.stage_train(a, str(tmp_path / "train"))
     assert f"--resume_checkpoint={stamped}" in seen["argv"]
     # a completed return writes the completion marker
@@ -90,13 +89,72 @@ def test_stage_train_preemption_is_not_completion(tmp_path, monkeypatch):
     a = _args(tmp_path, schedules="direct:1000")
     cdir = qb.ckpt_dir_for(a, "direct", 1000)
     os.makedirs(cdir)
-    import fast_cwdm_tpu.cli.train as train_cli
-
-    monkeypatch.setattr(train_cli, "main", lambda argv: "preempted")
+    monkeypatch.setattr(qb, "_run_train_leg", lambda a_, argv: "preempted")
     with pytest.raises(SystemExit) as ei:
         qb.stage_train(a, str(tmp_path / "train"))
     assert ei.value.code == 143
     assert not os.path.exists(os.path.join(cdir, ".done"))
+
+
+def test_quick_mode_trains_in_process(tmp_path, monkeypatch):
+    """--quick must NOT spawn a subprocess: the in-process jax platform
+    pin is the only reliable way to keep the smoke off the real chip."""
+    a = _args(tmp_path, schedules="direct:100")
+    a.quick = True
+    import fast_cwdm_tpu.cli.train as train_cli
+
+    monkeypatch.setattr(train_cli, "main", lambda argv: "completed")
+    monkeypatch.setattr(
+        qb.subprocess, "Popen",
+        lambda *a_, **k: pytest.fail("quick mode must stay in-process"),
+    )
+    assert qb._run_train_leg(a, ["--x"]) == "completed"
+
+
+class _FakeProc:
+    """Stands in for subprocess.Popen in _run_train_leg tests."""
+
+    def __init__(self, rc, hang_first=False):
+        self.rc, self.hang_first = rc, hang_first
+        self.signals, self.killed = [], False
+
+    def wait(self, timeout=None):
+        if self.hang_first and not self.signals:
+            raise qb.subprocess.TimeoutExpired("train", timeout)
+        return self.rc
+
+    def send_signal(self, sig):
+        self.signals.append(sig)
+
+    def kill(self):
+        self.killed = True
+
+
+@pytest.mark.parametrize(
+    "rc,status", [(0, "completed"), (143, "preempted"), (1, "failed(rc=1)")]
+)
+def test_run_train_leg_exit_code_mapping(tmp_path, monkeypatch, rc, status):
+    """Each training leg runs in its own subprocess (HBM isolation: the
+    round-3 run OOM'd when model 2 started in model 1's process) with the
+    cli/train.py exit-code contract: 0=completed, 143=preempted."""
+    a = _args(tmp_path)
+    monkeypatch.setattr(
+        qb.subprocess, "Popen", lambda *a_, **k: _FakeProc(rc)
+    )
+    assert qb._run_train_leg(a, ["--x"]) == status
+
+
+def test_run_train_leg_wall_budget_sigterm(tmp_path, monkeypatch):
+    """--max_wall_hours: a leg that outlives the budget is SIGTERM'd
+    (checkpoint-and-exit in the child) and reported as preempted, so the
+    harness exits 143 for an operator resume (docs/RUNBOOK.md)."""
+    a = _args(tmp_path, max_wall_hours="0.001")
+    proc = _FakeProc(143, hang_first=True)
+    monkeypatch.setattr(qb.subprocess, "Popen", lambda *a_, **k: proc)
+    assert qb._run_train_leg(a, ["--x"]) == "preempted"
+    import signal as _signal
+
+    assert proc.signals == [_signal.SIGTERM]
 
 
 def test_eval_rows_roundtrip_and_resume(tmp_path):
