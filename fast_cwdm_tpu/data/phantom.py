@@ -187,6 +187,137 @@ def generate_case(
     return out
 
 
+def segment_case(
+    vols: dict[str, np.ndarray], erode: int = 3
+) -> np.ndarray:
+    """Classical stand-in segmenter: modality volumes → BraTS raw labels.
+
+    Plays the role of the pretrained nnUNet in the reference's downstream
+    evaluation (`evaluate_synthesis.py:121-154` — its weights are
+    unreachable in this air-gapped environment): a model-based inversion
+    of the phantom's known contrast physics, exactly as nnUNet is a
+    model of real BraTS contrast. Works at ANY per-modality positive
+    scale (raw gain, min-max normalized, or synthesized [0,1] output),
+    because step 1 re-estimates the scales per case:
+
+    1. Robust least-squares of t1c on (t1n, t2w, t2f, 1) over brain
+       voxels. By construction t1c = Σ aᵢ·mᵢ + b + 0.32·C (T1C_COMBO),
+       so the fit recovers the cross-modality gain ratios and the
+       RESIDUAL isolates the gadolinium-style enhancement:
+       ``C_hat = resid / (0.32·g_t1c)`` with ``g_t1c = intercept/0.22``.
+       This is the step that makes downstream Dice sensitive to
+       synthesis quality — a synthesized t1c with a wrong core produces
+       a wrong C_hat.
+    2. ET and NCR directly from C_hat: ``C > 0.25`` → 4, ``C > ε`` → 1
+       (the GT rules are monotone thresholds of E, and C = g(E) is
+       invertible where C > 0; ε absorbs the regression noise floor).
+       Edema (E in (0.35, 0.55]) has C = 0, and E is provably NOT
+       linearly recoverable — t1c's latent mixing row is an exact affine
+       combination of the other three, so the four modalities carry only
+       three independent measurements of five latents, and the unique
+       nuisance-nulling combination has a zero E coefficient (it IS the
+       step-1 residual).
+    3. Edema by geometry instead: every lesion has a core (center
+       E = bump ≥ 0.75 > 0.55), the blob is an ellipsoid quadric
+       ``E = bump·(1−ld2)^1.5``, so fit the axis-aligned quadric
+       ``ld2(x,y,z)`` to ``1−(E/b̄)^(2/3)`` over the recovered core
+       region and EXTRAPOLATE it outward; threshold the extrapolated E
+       at the generator's own 0.35 rule. (The ±12.5 % texture bump the
+       fit averages away is this segmenter's honest error floor — the
+       analog of nnUNet's own imperfection; it cancels in the
+       real-vs-synthesized Dice comparison the benchmark reports.)
+
+    ``erode``: voxels of brain-boundary shell to suppress — the edge
+    taper scales all modalities jointly, which the per-voxel affine
+    model does not describe.
+    """
+    from scipy.ndimage import binary_erosion
+
+    mods = ("t1n", "t2w", "t2f", "t1c")
+    t1n, t2w, t2f, t1c = (np.asarray(vols[m], np.float64) for m in mods)
+    brain = (t1n > 0) & (t2w > 0) & (t2f > 0) & (t1c > 0)
+    seg = np.zeros(t1n.shape, np.int16)
+    if erode:
+        brain = binary_erosion(brain, iterations=erode)
+    if not brain.any():
+        return seg
+
+    # --- step 1: gains + enhancement from the exact t1c combination
+    X = np.stack(
+        [t1n[brain], t2w[brain], t2f[brain], np.ones(int(brain.sum()))], 1
+    )
+    y = t1c[brain]
+    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ coef
+    keep = np.abs(resid) <= np.quantile(np.abs(resid), 0.98)
+    coef, *_ = np.linalg.lstsq(X[keep], y[keep], rcond=None)  # refit sans core
+    a1, a2, a3, b0, wc = T1C_COMBO
+    g_t1c = coef[3] / b0
+    if g_t1c <= 0:  # degenerate fit (e.g. blank synthesis) → no lesion
+        return seg
+    gains = np.array(
+        [a1 * g_t1c / coef[0], a2 * g_t1c / coef[1],
+         a3 * g_t1c / coef[2], g_t1c]
+    )
+    del gains  # gain ratios fold into coef; only g_t1c is needed below
+    C_hat = np.zeros(t1n.shape)
+    C_hat[brain] = (y - X @ coef) / (wc * g_t1c)
+
+    # --- step 2: core labels straight from the recovered enhancement
+    # noise floor via MAD: the residual's C==0 population is contaminated
+    # by brain-edge taper voxels the affine model does not describe; a
+    # plain std over that tail once inflated eps past the 0.25 ET
+    # threshold and zeroed label 1 entirely
+    off = C_hat[brain & (C_hat < 0.01)]
+    mad = float(np.median(np.abs(off - np.median(off)))) if off.size else 0.0
+    eps = min(0.1, max(0.02, 5.0 * 1.4826 * mad))
+    core = C_hat > eps  # ⟺ E > ~0.55 (C = g(E) invertible on its support)
+    # a real core is one compact blob of ≥ hundreds of voxels; a no-lesion
+    # case leaves only scattered noise-tail voxels above eps — keep the
+    # largest connected component and demand it be non-trivial
+    if core.any():
+        from scipy.ndimage import label as cc_label
+
+        lab, n_cc = cc_label(core)
+        sizes = np.bincount(lab.ravel())[1:]
+        core = lab == (int(np.argmax(sizes)) + 1)
+        if sizes.max() < 20:
+            core[:] = False
+    if not core.any():
+        return seg  # no lesion (or synthesis erased it): all-background
+
+    # --- step 3: edema by quadric extrapolation from the core
+    # E = bump·(1−ld2)^1.5 with ld2 an axis-aligned ellipsoid quadric;
+    # on the core, E is known via C = ((E−0.55)/0.45)^1.2. Fit on the
+    # DEEP core only (C > 0.1): dC/dE → ∞ at C = 0, so eps-shell voxels
+    # carry amplified noise that once collapsed the fit into a
+    # brain-wide false-edema quadric
+    fit_region = core & (C_hat > max(0.1, eps))
+    if not fit_region.any():
+        fit_region = core
+    E_core = 0.55 + 0.45 * np.clip(C_hat[fit_region], 0.0, 1.0) ** (1.0 / 1.2)
+    v = 1.0 - (E_core / 0.875) ** (2.0 / 3.0)  # ld2 at bump ≈ mean bump
+    ii, jj, kk = np.nonzero(fit_region)
+    Q = np.stack(
+        [ii * ii, jj * jj, kk * kk, ii, jj, kk, np.ones_like(ii)], 1
+    ).astype(np.float64)
+    q, *_ = np.linalg.lstsq(Q, v, rcond=None)
+    xx = np.arange(t1n.shape[0])[:, None, None]
+    yy = np.arange(t1n.shape[1])[None, :, None]
+    zz = np.arange(t1n.shape[2])[None, None, :]
+    ld2 = (
+        q[0] * xx * xx + q[1] * yy * yy + q[2] * zz * zz
+        + q[3] * xx + q[4] * yy + q[5] * zz + q[6]
+    )
+    E_pred = 0.875 * np.clip(1.0 - ld2, 0.0, 1.0) ** 1.5
+
+    # --- the generator's own label rules, most-specific last
+    seg[(E_pred > 0.35) & brain] = 2
+    seg[core] = 1
+    seg[C_hat > 0.25] = 4
+    return seg
+
+
 def write_case(
     case_dir: str,
     seed: int,
