@@ -53,7 +53,15 @@ class GroupNorm32(nn.Module):
     num_groups: int = 32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, params_only: bool = False):
+    def __call__(
+        self, x: jax.Array, *, params_only: bool = False,
+        act: str | None = None,
+    ):
+        """``act="silu"`` fuses the normalize-apply and the activation into
+        ONE memory pass via the Pallas elementwise kernel when the shape
+        supports it (`ops/elementwise_pallas.py` — full 128-lane tiling on
+        the flat buffer vs XLA's C-minor fusion); falls back to the plain
+        apply + silu otherwise. Stats math is identical either way."""
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -74,13 +82,23 @@ class GroupNorm32(nn.Module):
         mean_sq = mean_sq_c.reshape(-1, g, c // g).mean(axis=-1)
         var = jnp.maximum(mean_sq - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + 1e-5)
+        if act == "silu":
+            from fast_cwdm_tpu.ops import elementwise_pallas as ep
+
+            if ep.supported(x.shape) and x.shape[0] == 1:
+                mean_pc = jnp.repeat(mean, c // g, axis=-1)  # (B, C)
+                inv_pc = jnp.repeat(inv, c // g, axis=-1)
+                return ep.gn_apply_silu(x, mean_pc, inv_pc, scale, bias)
         # expand per-group stats to per-channel and apply on the FLAT
         # tensor (stats are tiny; the apply pass fuses into neighbours)
         expand = lambda a: jnp.repeat(  # noqa: E731
             a, c // g, axis=-1
         ).reshape((x.shape[0],) + (1,) * (x.ndim - 2) + (c,))
         y = (xf - expand(mean)) * expand(inv) * scale + bias
-        return y.astype(x.dtype)
+        y = y.astype(x.dtype)
+        if act == "silu":
+            y = jax.nn.silu(y)
+        return y
 
 
 def conv_nd(

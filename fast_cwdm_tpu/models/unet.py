@@ -247,6 +247,9 @@ class ResBlock(nn.Module):
     num_groups: int = 32
     resample_2d: bool = True
     fuse_conv: bool = False
+    # fuse each GN-apply + SiLU into one Pallas memory pass
+    # (ops/elementwise_pallas.py); identical math, fewer HBM trips
+    fuse_gn_silu: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -271,8 +274,10 @@ class ResBlock(nn.Module):
                 x, gn=(mean, inv, gscale, gbias)
             )
         else:
-            h = in_norm(x)
-            h = nn.silu(h)
+            if self.fuse_gn_silu:
+                h = in_norm(x, act="silu")
+            else:
+                h = nn.silu(in_norm(x))
             if self.up:
                 h = nearest_upsample(h, self.dims, self.resample_2d)
                 x = nearest_upsample(x, self.dims, self.resample_2d)
@@ -311,10 +316,11 @@ class ResBlock(nn.Module):
                 scale, shift = jnp.split(emb_out, 2, axis=-1)
                 h = out_norm(h)
                 h = h * (1 + scale) + shift
+                h = nn.silu(h)
+            elif self.fuse_gn_silu:
+                h = out_norm(h + emb_out, act="silu")
             else:
-                h = h + emb_out
-                h = out_norm(h)
-            h = nn.silu(h)
+                h = nn.silu(out_norm(h + emb_out))
             if self.dropout > 0:
                 h = nn.Dropout(rate=self.dropout)(h, deterministic=not train)
             if self.dims == 3:
@@ -426,6 +432,7 @@ class UNetModel(nn.Module):
     resample_2d: bool = True
     additive_skips: bool = False
     fuse_conv: bool = False
+    fuse_gn_silu: bool = False
     dtype: jnp.dtype | None = None
     # selective rematerialization (only meaningful with use_checkpoint):
     # remat_max_ds=K remats ONLY blocks at downsample factor ds <= K — the
@@ -453,6 +460,7 @@ class UNetModel(nn.Module):
         kw.setdefault("num_groups", self.num_groups)
         kw.setdefault("resample_2d", self.resample_2d)
         kw.setdefault("fuse_conv", self.fuse_conv)
+        kw.setdefault("fuse_gn_silu", self.fuse_gn_silu)
         kw.setdefault("dtype", self.dtype)
         return cls(**kw)
 
@@ -598,8 +606,10 @@ class UNetModel(nn.Module):
                     ds //= 2
                 bidx += 1
 
-        h = GroupNorm32(self.num_groups, name="out_norm")(h)
-        h = nn.silu(h)
+        if self.fuse_gn_silu:
+            h = GroupNorm32(self.num_groups, name="out_norm")(h, act="silu")
+        else:
+            h = nn.silu(GroupNorm32(self.num_groups, name="out_norm")(h))
         return conv_nd(
             self.out_channels, 3, dims=self.dims, zero_init=True,
             name="out_conv",
