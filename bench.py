@@ -93,11 +93,13 @@ def main():
                          "the framework's bf16 fused step")
     ap.add_argument("--skip-baseline", action="store_true",
                     help="alias for --baseline=none")
-    ap.add_argument("--dpm", type=int, default=25, metavar="N",
+    ap.add_argument("--dpm", type=int, default=10, metavar="N",
                     help="also time the DPM-Solver++(2M) sampler at N model "
-                         "evaluations (default 25 — the framework's best "
-                         "throughput story belongs on the scoreboard; 0 "
-                         "disables; fresh ~4-min compile on a cold cache)")
+                         "evaluations (default 10 — QUALITY.md measured the "
+                         "frontier FLAT down to 10 evals on the phantom "
+                         "benchmark, so this is the matched-quality "
+                         "operating point; 0 disables; fresh ~4-min compile "
+                         "on a cold cache)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin to host CPU (orchestration validation only — "
                          "numbers are meaningless). In-process pin because "
@@ -292,12 +294,17 @@ def main():
             ),
             "dpm_s_per_volume": round(dpm_s / b, 3) if dpm_s else None,
             "dpm_steps": args.dpm or None,
-            # the matched-quality operating point: QUALITY.md measures
-            # DPM++ at this eval budget against the DDPM-100 headline on
-            # the phantom benchmark; this ratio is the speedup vs the
-            # faithful reference leg at that operating point
+            # the matched-quality operating point: QUALITY.md (2026-08-20
+            # chip run) measured SSIM 0.9923/PSNR 41.2 IDENTICAL from
+            # 1000 evals down to dpm++-10 on the production model, so
+            # this ratio is the honest matched-quality speedup vs the
+            # faithful reference leg
             "dpm_vs_baseline": (
                 round(base_s / dpm_s, 3) if dpm_s and base_s else None
+            ),
+            "matched_quality_evidence": (
+                "QUALITY.md: direct-1000 frontier flat at SSIM 0.9923 "
+                "from ddpm-full(1000) to dpm++-10"
             ),
             "device": str(jax.devices()[0]),
             "baseline_mode": (
