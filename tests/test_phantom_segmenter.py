@@ -64,3 +64,17 @@ def test_segment_erased_core_predicts_nothing(case):
     ).astype(np.float32)
     pred = segment_case(flat)
     assert not (pred == 4).any()
+
+
+def test_segment_full_raw_shape():
+    """Resolution must not break the inversion: the taper shell grows
+    ~0.03·dim voxels, and a fixed 3-voxel erosion at the full 240³ BraTS
+    shape left enough shell to tilt the gain regression brain-wide
+    (observed mean Dice 0.004 before the adaptive default)."""
+    from fast_cwdm_tpu.data.phantom import RAW_SHAPE
+
+    case = generate_case(10000, shape=RAW_SHAPE)
+    pred = segment_case(case)
+    gt = case["seg"]
+    assert dice_score(pred, gt, 4) > 0.9
+    assert mean_multilabel_dice(pred, gt) > 0.6
