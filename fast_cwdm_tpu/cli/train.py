@@ -56,6 +56,11 @@ def create_argparser() -> argparse.ArgumentParser:
         mode="default",
         renormalize=True,
         contr="t1n",
+        # beyond-reference: extra image-space MSE over the case's seg
+        # labels — counters the measured small-structure (enhancing-core)
+        # attenuation of the equal-weight wavelet loss (QUALITY.md
+        # downstream section). 0 = exact reference objective.
+        lesion_weight=0.0,
         checkpoint_dir="",
         data_mesh=0,  # 0 = all devices on the data axis
         spatial_mesh=1,
@@ -134,12 +139,20 @@ def main(argv=None) -> str:
         )
         logger.log(f"mesh: {dict(mesh.shape)}")
 
+    if args.lesion_weight and args.dataset == "lidc-idri":
+        raise ValueError("--lesion_weight needs BraTS seg labels (i2i)")
     if args.dataset == "lidc-idri":
         dataset = LIDCVolumes(args.data_dir, mode="train")
     else:
         dataset = BRATSVolumes(
-            args.data_dir, mode="train", cache=args.cache_dataset
+            args.data_dir, mode="train", cache=args.cache_dataset,
+            with_seg=bool(args.lesion_weight),
         )
+    batch_keys = None
+    if args.lesion_weight:
+        from fast_cwdm_tpu.data.brats import MODALITIES
+
+        batch_keys = tuple(MODALITIES) + ("seg",)
     logger.log(f"dataset: {len(dataset)} cases from {args.data_dir}")
 
     import itertools
@@ -194,6 +207,7 @@ def main(argv=None) -> str:
                 dataset, args.batch_size, shuffle=True,
                 seed=args.seed + next(epoch_counter),
                 cache=hbm_cache,
+                **({"keys": batch_keys} if batch_keys else {}),
             )
     else:
         def data():
@@ -205,6 +219,7 @@ def main(argv=None) -> str:
                 seed=args.seed + next(epoch_counter),
                 num_workers=args.num_workers,
                 rows=rows,
+                **({"keys": batch_keys} if batch_keys else {}),
             )
 
     sampler = create_named_schedule_sampler(
@@ -235,6 +250,7 @@ def main(argv=None) -> str:
         checkpoint_dir=args.checkpoint_dir or None,
         config=cfg,
         microbatch=args.microbatch,
+        lesion_weight=args.lesion_weight,
     )
     loop.run_loop()
     # harnesses must distinguish "ran to lr_anneal_steps" from "SIGTERM'd

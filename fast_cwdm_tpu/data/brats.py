@@ -53,6 +53,14 @@ def preprocess_volume(vol: np.ndarray) -> np.ndarray:
     return pad_crop(clip_and_normalize(vol))
 
 
+def load_seg(path: str) -> np.ndarray:
+    """Raw BraTS labels pad/cropped to the training geometry, float32 —
+    labels are categorical, so `clip_and_normalize` must NOT run (the
+    reference never loads seg into training; the lesion-weighted loss
+    option does)."""
+    return pad_crop(np.asarray(nifti.load(path).get_fdata(), np.float32))
+
+
 def load_preprocessed(path: str) -> np.ndarray:
     """Load + preprocess one modality volume.
 
@@ -116,11 +124,12 @@ class BRATSVolumes:
 
     def __init__(
         self, directory: str, mode: str = "train", gen_type=None,
-        cache: bool = False,
+        cache: bool = False, with_seg: bool = False,
     ):
         self.mode = mode
         self.directory = os.path.expanduser(directory)
         self.gentype = gen_type
+        self.with_seg = with_seg
         self._cache: dict[str, np.ndarray] | None = {} if cache else None
         self.database: list[dict[str, str]] = []
         for root, dirs, files in sorted(os.walk(self.directory, followlinks=True)):
@@ -136,12 +145,12 @@ class BRATSVolumes:
     def __len__(self) -> int:
         return len(self.database)
 
-    def _load_cached(self, path: str) -> np.ndarray:
+    def _load_cached(self, path: str, loader=load_preprocessed) -> np.ndarray:
         if self._cache is None:
-            return load_preprocessed(path)
+            return loader(path)
         vol = self._cache.get(path)
         if vol is None:
-            vol = load_preprocessed(path)
+            vol = loader(path)
             # read-only: every consumer (collation, jnp.asarray) copies;
             # dict set is GIL-atomic so concurrent loader threads at worst
             # decode the same path twice, never corrupt
@@ -159,6 +168,20 @@ class BRATSVolumes:
             else:
                 missing = m
                 out[m] = np.zeros((1,), dtype=np.float32)
+        if self.with_seg:
+            segp = filedict.get("seg")
+            if segp:
+                out["seg"] = self._load_cached(segp, loader=load_seg)
+            else:
+                # a seg-less case trains with an empty mask (the aux loss
+                # term contributes zero) rather than failing collation
+                ref = next(
+                    (out[m] for m in MODALITIES if out[m].ndim == 4), None
+                )
+                shape = ref.shape if ref is not None else (
+                    240 - 2 * CROP, 240 - 2 * CROP, PADDED_Z, 1
+                )
+                out["seg"] = np.zeros(shape, dtype=np.float32)
         if self.mode in ("eval", "auto"):
             subj = filedict.get("t1n", filedict.get("t2f", "dummy_string"))
         else:

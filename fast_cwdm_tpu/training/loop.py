@@ -102,6 +102,7 @@ class TrainLoop:
         config: dict | None = None,
         prefetch: int = 2,
         microbatch: int = -1,
+        lesion_weight: float = 0.0,
     ):
         self.model = model
         self.diffusion = diffusion
@@ -159,6 +160,7 @@ class TrainLoop:
             sampler=self.sampler,
             donate=True,
             accum_steps=accum_steps,
+            lesion_weight=lesion_weight,
         )
         self.key = jax.random.PRNGKey(seed)
         self.state: TrainState | None = None
@@ -177,8 +179,13 @@ class TrainLoop:
         # of op-by-op tunnel dispatches (~minutes at production shape on
         # axon — PERF.md "host-side dispatch pathologies")
         if self.mode == "i2i":
+            from fast_cwdm_tpu.diffusion.gaussian import condition_order
+
             x = batch[self.contr]
-            others = [batch[m] for m in sorted(batch) if m != self.contr]
+            # the CONDITION modalities only — the batch dict may carry
+            # extra keys (e.g. "seg" for the lesion-weighted loss) that
+            # must not leak into the model's input-channel count
+            others = [batch[m] for m in condition_order(self.contr)]
 
             @jax.jit
             def init_i2i(key, x, others):

@@ -77,6 +77,7 @@ def make_train_step(
     donate: bool = False,
     with_norms: bool = True,
     accum_steps: int = 1,
+    lesion_weight: float = 0.0,
 ) -> Callable[[TrainState, Any, jax.Array], tuple[TrainState, dict]]:
     """Build the jitted train step.
 
@@ -99,12 +100,28 @@ def make_train_step(
     ``donate=True`` donates the input state so params/opt/EMA update in
     place (used by `TrainLoop`; leave False when the caller re-reads the
     pre-step state — donated buffers are invalidated).
+
+    ``lesion_weight > 0`` (beyond-reference) adds an IMAGE-SPACE MSE term
+    over the lesion mask: ``loss += w · mean_{seg>0}((idwt(pred) − x₀)²)``,
+    using the seg labels BraTS ships with every training case. Motivation
+    is measured, not hypothetical: the production wavelet x₀-MSE weights
+    the enhancing core by its voxel share (~0.06%), and the trained model
+    attenuates it ~2.5× — invisible to SSIM/PSNR, fatal to downstream
+    Dice (QUALITY.md "downstream" section; the reference has the same
+    equal-weight loss, `train_util.py:447-449`, and no way to see this).
+    Requires the batch dict to carry ``"seg"`` (loader ``with_seg=True``)
+    and i2i mode.
     """
     sampler = sampler or UniformSampler(diffusion.num_timesteps)
     loss_aware = isinstance(sampler, LossSecondMomentResampler)
 
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+    if lesion_weight and mode != "i2i":
+        raise ValueError(
+            "lesion_weight needs i2i mode (the mask comes from the case's"
+            " seg labels; unconditional batches are plain arrays)"
+        )
 
     def loss_fn(params, batch, t, key_noise, key_drop, noise_img=None):
         def model_fn(x, tt, **kw):
@@ -125,6 +142,15 @@ def make_train_step(
         )
         # equal subband weights (`train_util.py:447-449`)
         loss = terms["mse_wav"].mean()
+        if lesion_weight:
+            mask = (batch["seg"] > 0).astype(jnp.float32)
+            diff2 = (
+                out_idwt.astype(jnp.float32)
+                - batch[contr].astype(jnp.float32)
+            ) ** 2
+            aux = (diff2 * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+            loss = loss + lesion_weight * aux
+            terms["mse_lesion"] = aux
         # mid-plane slices for TB/wandb image panels
         # (`train_util.py:226-284` logs the x0 mid-plane and all 8 predicted
         # subband mid-planes every 200 steps) — slices, not full volumes,
@@ -198,6 +224,8 @@ def make_train_step(
                     terms_i["loss_per_sample"],
                     terms_i[IMAGE_METRIC_KEYS[0]],
                     terms_i[IMAGE_METRIC_KEYS[1]],
+                ) + (
+                    (terms_i["mse_lesion"],) if lesion_weight else ()
                 )
                 return jax.tree.map(jnp.add, g_acc, g_i), ys
 
@@ -217,6 +245,8 @@ def make_train_step(
                     (bsz,) + ys[4].shape[2:]
                 ),
             }
+            if lesion_weight:
+                terms["mse_lesion"] = ys[5].mean()
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -239,6 +269,8 @@ def make_train_step(
             IMAGE_METRIC_KEYS[0]: terms[IMAGE_METRIC_KEYS[0]],
             IMAGE_METRIC_KEYS[1]: terms[IMAGE_METRIC_KEYS[1]],
         }
+        if lesion_weight:
+            metrics["mse_lesion"] = terms["mse_lesion"]
         if with_norms:
             # measured FREE on the production model (651.8 ms with vs
             # 650.7 without: XLA overlaps the two abs-max passes), so the
