@@ -54,11 +54,16 @@ def preprocess_volume(vol: np.ndarray) -> np.ndarray:
 
 
 def load_seg(path: str) -> np.ndarray:
-    """Raw BraTS labels pad/cropped to the training geometry, float32 —
+    """Raw BraTS labels pad/cropped to the training geometry, uint8 —
     labels are categorical, so `clip_and_normalize` must NOT run (the
     reference never loads seg into training; the lesion-weighted loss
-    option does)."""
-    return pad_crop(np.asarray(nifti.load(path).get_fdata(), np.float32))
+    option does). uint8 keeps a device-pinned seg at 8 MB/case instead
+    of 32 (the f32 pin tipped the production HBM budget over — the
+    remat-all + device-cache pairing runs near the 16 GB edge by
+    design, PERF.md round 3)."""
+    return pad_crop(
+        np.asarray(nifti.load(path).get_fdata(), np.float32)
+    ).astype(np.uint8)
 
 
 def load_preprocessed(path: str) -> np.ndarray:
@@ -181,7 +186,7 @@ class BRATSVolumes:
                 shape = ref.shape if ref is not None else (
                     240 - 2 * CROP, 240 - 2 * CROP, PADDED_Z, 1
                 )
-                out["seg"] = np.zeros(shape, dtype=np.float32)
+                out["seg"] = np.zeros(shape, dtype=np.uint8)
         if self.mode in ("eval", "auto"):
             subj = filedict.get("t1n", filedict.get("t2f", "dummy_string"))
         else:

@@ -505,6 +505,8 @@ class TrainLoop:
                 logger.logkv("norm/param_max", float(m["param_max"]))
                 for i, name in enumerate(SUBBAND_NAMES):
                     logger.logkv(f"loss/mse_wav_{name}", float(m["mse_wav"][i]))
+                if "mse_lesion" in m:
+                    logger.logkv("loss/mse_lesion", float(m["mse_lesion"]))
                 # per-quartile loss binning by t (`log_loss_dict`,
                 # `train_util.py:554-560`)
                 T = self.diffusion.num_timesteps
