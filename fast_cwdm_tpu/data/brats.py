@@ -61,8 +61,10 @@ def load_seg(path: str) -> np.ndarray:
     of 32 (the f32 pin tipped the production HBM budget over — the
     remat-all + device-cache pairing runs near the 16 GB edge by
     design, PERF.md round 3)."""
-    return pad_crop(
-        np.asarray(nifti.load(path).get_fdata(), np.float32)
+    # rint, not truncation: a seg NIfTI with scl_slope/inter can surface
+    # 3.0 as 3.9999…; truncating .astype would silently corrupt labels
+    return np.rint(
+        pad_crop(np.asarray(nifti.load(path).get_fdata(), np.float32))
     ).astype(np.uint8)
 
 
@@ -150,7 +152,11 @@ class BRATSVolumes:
     def __len__(self) -> int:
         return len(self.database)
 
-    def _load_cached(self, path: str, loader=load_preprocessed) -> np.ndarray:
+    def _load_cached(self, path: str, loader=None) -> np.ndarray:
+        # late-bound default: module-level load_preprocessed is resolved at
+        # call time so tests (and users) can monkeypatch the decode seam
+        if loader is None:
+            loader = load_preprocessed
         if self._cache is None:
             return loader(path)
         vol = self._cache.get(path)

@@ -56,11 +56,28 @@ class TrainState:
 
 
 def update_ema(state: TrainState, new_params) -> Tuple[Any, ...]:
-    """EMA shadow update: ``ema = rate·ema + (1-rate)·params``
-    (the semantics of the reference's unused `update_ema`, `nn.py:55-65`)."""
+    """EMA shadow update with warmup:
+    ``ema = rate_t·ema + (1-rate_t)·params`` where
+    ``rate_t = min(rate, (1+t)/(10+t))`` (t = completed optimizer steps).
+
+    The un-warmed version (the semantics of the reference's unused
+    `update_ema`, `nn.py:55-65`) starts the shadow at the RANDOM INIT with
+    a 1/(1-rate)-step memory horizon; at rate 0.9999 and the production
+    5000-step budget the shadow still mostly remembers the init — measured
+    actively harmful (QUALITY.md r4: +ema rows SSIM 0.82 vs 0.99). The
+    standard warmup (Polyak/Adam-style debias, as used by e.g. the
+    tensorflow ExponentialMovingAverage ``num_updates`` path) makes early
+    shadows track params closely and anneal toward the asymptotic rate, so
+    EMA is neutral-to-helpful at any budget.
+    """
+    t = state.step.astype(jnp.float32)
     return tuple(
         jax.tree.map(
-            lambda e, p: e * rate + p * (1.0 - rate), ema, new_params
+            lambda e, p, r=jnp.minimum(rate, (1.0 + t) / (10.0 + t)): (
+                e * r + p * (1.0 - r)
+            ),
+            ema,
+            new_params,
         )
         for rate, ema in zip(state.ema_rates, state.ema_params)
     )

@@ -94,15 +94,40 @@ class TestTrainStep:
         state = TrainState.create(params, tx, ema_rates=(0.5,))
         step = make_train_step(model, diffusion, tx, contr="t1c", mode="i2i")
         state2, _ = step(state, batch, jax.random.PRNGKey(0))
-        # ema = 0.5*old + 0.5*new — strictly between old and new params
+        # warmup: at t=1 the effective rate is min(0.5, 2/11)
+        r = min(0.5, 2.0 / 11.0)
         p_old = jax.tree.leaves(params)[0]
         p_new = jax.tree.leaves(state2.params)[0]
         p_ema = jax.tree.leaves(state2.ema_params[0])[0]
         np.testing.assert_allclose(
             np.asarray(p_ema),
-            0.5 * np.asarray(p_old) + 0.5 * np.asarray(p_new),
+            r * np.asarray(p_old) + (1 - r) * np.asarray(p_new),
             atol=1e-6,
         )
+
+    def test_ema_warmup_schedule(self):
+        """rate_t = min(rate, (1+t)/(10+t)): early shadows track params
+        (forgetting the init), late shadows approach the asymptotic rate —
+        the un-warmed 0.9999 horizon was measured harmful at the 5000-step
+        production budget (QUALITY.md r4: SSIM 0.82 vs 0.99)."""
+        from fast_cwdm_tpu.training.state import update_ema
+
+        params = {"w": jnp.zeros((4,))}  # training pulls params to 0
+        init = {"w": jnp.ones((4,))}
+        state = TrainState.create(init, make_optimizer(1e-3),
+                                  ema_rates=(0.9999,))
+
+        def at_step(t):
+            s = state.replace(step=jnp.asarray(t, jnp.int32))
+            return float(update_ema(s, params)[0]["w"][0])
+
+        # shadow = rate_t·ema + (1-rate_t)·params with ema=init=1, params=0
+        assert at_step(1) == pytest.approx(2.0 / 11.0)
+        assert at_step(100) == pytest.approx(101.0 / 110.0)
+        # asymptotic regime: min() selects the configured rate
+        assert at_step(200_000) == pytest.approx(0.9999)
+        # monotone: never exceeds the configured rate
+        assert all(at_step(t) <= 0.9999 + 1e-9 for t in (1, 10, 1000))
 
     def test_grad_accum_matches_full_batch(self, setup):
         """accum_steps>1 splits the batch into scanned microbatches but
