@@ -215,8 +215,17 @@ def run_nnunet_prediction(
     return True
 
 
+# nnUNet Dataset137 label names after `prepare_nnunet_dataset.remap_labels`
+# (BraTS 2=ED→1, 1=NCR→2, 4=ET→3)
+NNUNET_LABEL_NAMES = {1: "edema", 2: "ncr", 3: "et"}
+
+
 def calculate_dice_scores(pred_dir: str, gt_dir: str) -> dict:
-    """(`evaluate_synthesis.py:190-218`)"""
+    """(`evaluate_synthesis.py:190-218`) — plus a PER-LABEL breakdown
+    (edema/NCR/ET in nnUNet label space), matching the reference's
+    per-case multi-label reporting (`:202-218`): a single mean Dice hides
+    which structure failed (the enhancing core is 0.06% of voxels and
+    carries the whole BraSyn signal — QUALITY.md downstream section)."""
     from fast_cwdm_tpu.data import nifti
 
     rows = []
@@ -235,16 +244,29 @@ def calculate_dice_scores(pred_dir: str, gt_dir: str) -> dict:
                 # reference-formulation score (incl. background, /4,
                 # smoothed) for comparison against reference baselines
                 "dice_ref": mean_multilabel_dice_ref(pred, gt),
+                "dice_per_label": {
+                    name: dice_score(pred, gt, lbl)
+                    for lbl, name in NNUNET_LABEL_NAMES.items()
+                },
             }
         )
     mean = float(np.mean([r["dice"] for r in rows])) if rows else None
     mean_ref = (
         float(np.mean([r["dice_ref"] for r in rows])) if rows else None
     )
+    per_label = {}
+    for lbl, name in NNUNET_LABEL_NAMES.items():
+        vals = [
+            r["dice_per_label"][name]
+            for r in rows
+            if not np.isnan(r["dice_per_label"][name])
+        ]
+        per_label[name] = float(np.mean(vals)) if vals else None
     return {
         "n": len(rows),
         "dice_mean": mean,
         "dice_mean_ref": mean_ref,
+        "dice_per_label_mean": per_label,
         "cases": rows,
     }
 

@@ -51,6 +51,11 @@ def parse_args(argv=None):
     ap.add_argument("--sampling_steps", type=int, default=25)
     ap.add_argument("--label", default="",
                     help="row label; default {sampler}-{steps}")
+    ap.add_argument("--with_control", action="store_true",
+                    help="add the perfect-synthesis control leg: the REAL "
+                    "t1c passed through the completion pipeline's "
+                    "preprocess→unprocess round trip (no model) — bounds "
+                    "what the chain's own normalization costs")
     ap.add_argument("--write_md", default="")
     ap.add_argument("--quick", action="store_true",
                     help="pin jax to CPU (harness smoke with a tiny model)")
@@ -153,6 +158,95 @@ def stage_segment(a, images: str, tag: str) -> str:
     return out
 
 
+def stage_control(a) -> str:
+    """Perfect-synthesis control (VERDICT r4 Weak #5): the real t1c run
+    through EXACTLY the completion pipeline's intensity path —
+    `load_preprocessed` (clip/normalize/pad/crop) then `unprocess_volume`
+    (un-crop to raw geometry), the same round trip `cli/complete_dataset.py`
+    applies around the sampler — with NO model in the loop. Its Dice is the
+    chain-calibration ceiling: the gap real−control is the cost of the
+    normalization itself; synth−control isolates the model's share."""
+    from fast_cwdm_tpu.data import Nifti1Image, nifti, save, unprocess_volume
+    from fast_cwdm_tpu.data.brats import load_preprocessed
+
+    out = os.path.join(a.workdir, "control")
+    done = os.path.join(out, ".complete")
+    if os.path.exists(done):
+        return out
+    for case in sorted(os.listdir(a.val_dir)):
+        src = os.path.join(a.val_dir, case)
+        if not os.path.isdir(src):
+            continue
+        dst = os.path.join(out, case)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            if f.startswith("."):
+                continue
+            sp = os.path.join(src, f)
+            if f"-{a.contr}." in f:
+                hdr = nifti.load_header(sp)
+                vol = load_preprocessed(sp)  # (224,224,160,1) normalized
+                full = unprocess_volume(vol, raw_shape=hdr.shape)
+                save(
+                    Nifti1Image(
+                        full.astype(np.float32), hdr.affine, hdr.header
+                    ),
+                    os.path.join(dst, f),
+                )
+            else:
+                shutil.copy2(sp, os.path.join(dst, f))
+    open(done, "w").close()
+    print(f"[downstream] control tree → {out}")
+    return out
+
+
+# raw BraTS label → region name (the generator's own labels, pre-remap)
+RAW_REGIONS = {4: "et", 1: "ncr", 2: "edema"}
+
+
+def region_means(a, tree: str) -> dict:
+    """Per-case mean NORMALIZED t1c intensity inside each GT lesion region,
+    plus healthy-brain MAE vs the real t1c — the multi-case version of the
+    hand-made table that diagnosed the core-attenuation defect (QUALITY.md
+    r4, single case 10000). Intensities via `load_preprocessed` (the
+    training-normalized space those numbers were quoted in); regions via
+    the RAW GT labels from the val tree."""
+    from fast_cwdm_tpu.data.brats import load_preprocessed, load_seg
+
+    rows = {}
+    for case in sorted(os.listdir(a.val_dir)):
+        vsrc = os.path.join(a.val_dir, case)
+        tsrc = os.path.join(tree, case)
+        if not (os.path.isdir(vsrc) and os.path.isdir(tsrc)):
+            continue
+
+        def find(d, tag):
+            for f in sorted(os.listdir(d)):
+                if f"-{tag}." in f:
+                    return os.path.join(d, f)
+            return None
+
+        t1c_p, seg_p = find(tsrc, a.contr), find(vsrc, "seg")
+        real_p = find(vsrc, a.contr)
+        if not (t1c_p and seg_p and real_p):
+            continue
+        x = load_preprocessed(t1c_p)[..., 0]
+        real = load_preprocessed(real_p)[..., 0]
+        seg = load_seg(seg_p)[..., 0]
+        row = {}
+        for lbl, name in RAW_REGIONS.items():
+            m = seg == lbl
+            row[name] = float(x[m].mean()) if m.any() else None
+        healthy = (real > 0) & (seg == 0)
+        row["healthy_mae"] = float(np.abs(x - real)[healthy].mean())
+        rows[case] = row
+    means = {}
+    for name in list(RAW_REGIONS.values()) + ["healthy_mae"]:
+        vals = [r[name] for r in rows.values() if r.get(name) is not None]
+        means[name] = float(np.mean(vals)) if vals else None
+    return {"mean": means, "cases": rows}
+
+
 def agreement(a, preds_a: str, preds_b: str) -> float | None:
     """Mean foreground Dice between the two legs' PREDICTIONS: would the
     downstream consumer decide the same on synthesized data?"""
@@ -194,15 +288,25 @@ def main(argv=None) -> None:
 
     report = {"label": label, "legs": {}}
     preds = {}
-    for tag, tree in (("real", a.val_dir), (f"synth_{label}", completed)):
+    legs = [("real", a.val_dir), (f"synth_{label}", completed)]
+    if a.with_control:
+        legs.append(("control", stage_control(a)))
+    for tag, tree in legs:
         images, labels = stage_nnunet(a, tree, tag)
         preds[tag] = stage_segment(a, images, tag)
         scores = calculate_dice_scores(preds[tag], labels)
+        if tag != "real":
+            # multi-case region means: is the lesion's intensity structure
+            # preserved where the GT says the lesion is?
+            scores["region_means"] = region_means(a, tree)
         report["legs"][tag] = scores
         print(f"[downstream] {tag}: dice_mean={scores['dice_mean']} "
-              f"(n={scores['n']})")
-    tags = list(preds)
-    report["agreement"] = agreement(a, preds[tags[0]], preds[tags[1]])
+              f"per_label={scores['dice_per_label_mean']} (n={scores['n']})")
+    report["agreement"] = agreement(
+        a, preds["real"], preds[f"synth_{label}"]
+    )
+    # the targets the region means are judged against (x == real ⇒ GT)
+    report["gt_region_means"] = region_means(a, a.val_dir)["mean"]
 
     path = os.path.join(a.workdir, f"downstream_{label}.json")
     with open(path, "w") as f:
