@@ -78,3 +78,49 @@ def test_segment_full_raw_shape():
     gt = case["seg"]
     assert dice_score(pred, gt, 4) > 0.9
     assert mean_multilabel_dice(pred, gt) > 0.6
+
+
+class TestCalibration:
+    """`scripts/segmenter_calibration.py` exactness + monotonicity
+    (VERDICT r4 task 1a: the Dice-vs-degradation curve's validity rests on
+    the degradation being exact)."""
+
+    def test_alpha1_reproduces_real_t1c(self):
+        import importlib.util, os
+        spec = importlib.util.spec_from_file_location(
+            "segcal",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "segmenter_calibration.py"),
+        )
+        segcal = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(segcal)
+
+        real = generate_case(10000, shape=SHAPE)
+        deg = segcal.degraded_case(10000, alpha=1.0, shift=(0, 0, 0),
+                                   shape=SHAPE)
+        np.testing.assert_array_equal(deg["t1c"], real["t1c"])
+        for m in ("t1n", "t2w", "t2f", "seg"):
+            np.testing.assert_array_equal(deg[m], real[m])
+
+    def test_alpha0_removes_et_signal(self):
+        import importlib.util, os
+        spec = importlib.util.spec_from_file_location(
+            "segcal2",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "segmenter_calibration.py"),
+        )
+        segcal = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(segcal)
+
+        real = generate_case(10000, shape=SHAPE)
+        deg = segcal.degraded_case(10000, alpha=0.0, shift=(0, 0, 0),
+                                   shape=SHAPE)
+        core = real["seg"] == 4
+        assert core.any()
+        # enhancement stripped exactly where the GT core is
+        assert deg["t1c"][core].mean() < real["t1c"][core].mean() * 0.85
+        # ... and untouched elsewhere
+        out = (real["seg"] == 0) & (real["t1c"] > 0)
+        np.testing.assert_allclose(
+            deg["t1c"][out], real["t1c"][out], rtol=1e-5
+        )
