@@ -61,6 +61,16 @@ def create_argparser() -> argparse.ArgumentParser:
         # attenuation of the equal-weight wavelet loss (QUALITY.md
         # downstream section). 0 = exact reference objective.
         lesion_weight=0.0,
+        # same aux restricted to the enhancing core (raw BraTS label 4):
+        # the whole-lesion mask is satisfiable by a spatially flat lesion;
+        # this term pressures exactly the core-localized enhancement the
+        # downstream Dice keys on (r5 measurement, .qb/ds_w03)
+        lesion_core_weight=0.0,
+        # t-weighting power p for both aux terms: w_t=(p+1)·(t/(T−1))^p.
+        # p>0 shifts the aux gradient to HIGH t, where the core must be
+        # INFERRED from the condition rather than copied out of x_t
+        # (PROBE_core_inference_r05)
+        lesion_t_power=0.0,
         checkpoint_dir="",
         data_mesh=0,  # 0 = all devices on the data axis
         spatial_mesh=1,
@@ -139,17 +149,23 @@ def main(argv=None) -> str:
         )
         logger.log(f"mesh: {dict(mesh.shape)}")
 
-    if args.lesion_weight and args.dataset == "lidc-idri":
-        raise ValueError("--lesion_weight needs BraTS seg labels (i2i)")
+    lesion_on = bool(args.lesion_weight) or bool(args.lesion_core_weight)
+    if lesion_on and (args.dataset == "lidc-idri" or args.mode != "i2i"):
+        # fail before dataset construction, not later in make_train_step
+        raise ValueError(
+            "--lesion_weight/--lesion_core_weight need BraTS seg labels "
+            f"and i2i mode (got dataset={args.dataset!r}, "
+            f"mode={args.mode!r})"
+        )
     if args.dataset == "lidc-idri":
         dataset = LIDCVolumes(args.data_dir, mode="train")
     else:
         dataset = BRATSVolumes(
             args.data_dir, mode="train", cache=args.cache_dataset,
-            with_seg=bool(args.lesion_weight),
+            with_seg=lesion_on,
         )
     batch_keys = None
-    if args.lesion_weight:
+    if lesion_on:
         from fast_cwdm_tpu.data.brats import MODALITIES
 
         batch_keys = tuple(MODALITIES) + ("seg",)
@@ -251,6 +267,8 @@ def main(argv=None) -> str:
         config=cfg,
         microbatch=args.microbatch,
         lesion_weight=args.lesion_weight,
+        lesion_core_weight=args.lesion_core_weight,
+        lesion_t_power=args.lesion_t_power,
     )
     loop.run_loop()
     # harnesses must distinguish "ran to lr_anneal_steps" from "SIGTERM'd

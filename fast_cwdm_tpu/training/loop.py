@@ -103,6 +103,8 @@ class TrainLoop:
         prefetch: int = 2,
         microbatch: int = -1,
         lesion_weight: float = 0.0,
+        lesion_core_weight: float = 0.0,
+        lesion_t_power: float = 0.0,
     ):
         self.model = model
         self.diffusion = diffusion
@@ -161,6 +163,8 @@ class TrainLoop:
             donate=True,
             accum_steps=accum_steps,
             lesion_weight=lesion_weight,
+            lesion_core_weight=lesion_core_weight,
+            lesion_t_power=lesion_t_power,
         )
         self.key = jax.random.PRNGKey(seed)
         self.state: TrainState | None = None
@@ -507,6 +511,10 @@ class TrainLoop:
                     logger.logkv(f"loss/mse_wav_{name}", float(m["mse_wav"][i]))
                 if "mse_lesion" in m:
                     logger.logkv("loss/mse_lesion", float(m["mse_lesion"]))
+                if "mse_lesion_core" in m:
+                    logger.logkv(
+                        "loss/mse_lesion_core", float(m["mse_lesion_core"])
+                    )
                 # per-quartile loss binning by t (`log_loss_dict`,
                 # `train_util.py:554-560`)
                 T = self.diffusion.num_timesteps

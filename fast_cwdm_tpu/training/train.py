@@ -78,6 +78,8 @@ def make_train_step(
     with_norms: bool = True,
     accum_steps: int = 1,
     lesion_weight: float = 0.0,
+    lesion_core_weight: float = 0.0,
+    lesion_t_power: float = 0.0,
 ) -> Callable[[TrainState, Any, jax.Array], tuple[TrainState, dict]]:
     """Build the jitted train step.
 
@@ -102,7 +104,8 @@ def make_train_step(
     pre-step state — donated buffers are invalidated).
 
     ``lesion_weight > 0`` (beyond-reference) adds an IMAGE-SPACE MSE term
-    over the lesion mask: ``loss += w · mean_{seg>0}((idwt(pred) − x₀)²)``,
+    over the lesion mask, per sample:
+    ``loss += W · mean_i[ w_t(tᵢ) · mean_{segᵢ>0}((idwt(pred)ᵢ − x₀ᵢ)²) ]``
     using the seg labels BraTS ships with every training case. Motivation
     is measured, not hypothetical: the production wavelet x₀-MSE weights
     the enhancing core by its voxel share (~0.06%), and the trained model
@@ -110,17 +113,46 @@ def make_train_step(
     Dice (QUALITY.md "downstream" section; the reference has the same
     equal-weight loss, `train_util.py:447-449`, and no way to see this).
     Requires the batch dict to carry ``"seg"`` (loader ``with_seg=True``)
-    and i2i mode.
+    and i2i mode. Per-SAMPLE masked means (not one global masked mean)
+    make gradient accumulation exact for any mask distribution — the
+    microbatch mean of per-sample quantities composes associatively.
+
+    ``lesion_core_weight > 0`` adds the same term over the ENHANCING CORE
+    only (raw BraTS label 4). The r4/r5 downstream measurements show the
+    whole-lesion mask lets the model satisfy the aux with a spatially
+    flat lesion (ET≈NCR≈edema region means, `.qb/ds_w03` report) while
+    the core-localized enhancement — the entire downstream-Dice signal —
+    stays absent. Label 4 is ~5% of the lesion mask; this term puts full
+    pressure exactly there.
+
+    ``lesion_t_power = p > 0`` weights both aux terms per sample by
+    ``w_t = (p+1)·(t/(T−1))^p`` (mean ≈ 1 under the uniform t sampler, so
+    W keeps its scale). Rationale (PROBE_core_inference_r05): at low t,
+    x_t already CONTAINS the core, so the aux only teaches copying; at
+    sampling time the chain starts from noise, and whether a core ever
+    appears is decided by the x0-prediction at HIGH t, where the only
+    information source is the condition. p shifts the aux gradient onto
+    exactly those timesteps. p=0 keeps uniform weighting.
     """
     sampler = sampler or UniformSampler(diffusion.num_timesteps)
     loss_aware = isinstance(sampler, LossSecondMomentResampler)
+    lesion_on = bool(lesion_weight) or bool(lesion_core_weight)
 
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
-    if lesion_weight and mode != "i2i":
+    for name, w in (("lesion_weight", lesion_weight),
+                    ("lesion_core_weight", lesion_core_weight),
+                    ("lesion_t_power", lesion_t_power)):
+        if w < 0:
+            raise ValueError(
+                f"{name} must be >= 0, got {w} (a negative weight would"
+                " reward lesion error)"
+            )
+    if lesion_on and mode != "i2i":
         raise ValueError(
-            "lesion_weight needs i2i mode (the mask comes from the case's"
-            " seg labels; unconditional batches are plain arrays)"
+            "lesion_weight/lesion_core_weight need i2i mode (the mask"
+            " comes from the case's seg labels; unconditional batches are"
+            " plain arrays)"
         )
 
     def loss_fn(params, batch, t, key_noise, key_drop, noise_img=None):
@@ -142,15 +174,38 @@ def make_train_step(
         )
         # equal subband weights (`train_util.py:447-449`)
         loss = terms["mse_wav"].mean()
-        if lesion_weight:
-            mask = (batch["seg"] > 0).astype(jnp.float32)
+        if lesion_on:
             diff2 = (
                 out_idwt.astype(jnp.float32)
                 - batch[contr].astype(jnp.float32)
             ) ** 2
-            aux = (diff2 * mask).sum() / jnp.maximum(mask.sum(), 1.0)
-            loss = loss + lesion_weight * aux
-            terms["mse_lesion"] = aux
+            axes = tuple(range(1, diff2.ndim))
+            if lesion_t_power:
+                tt = t.astype(jnp.float32) / max(
+                    diffusion.num_timesteps - 1, 1
+                )
+                w_t = (lesion_t_power + 1.0) * tt**lesion_t_power
+            else:
+                w_t = jnp.ones(t.shape, jnp.float32)
+
+            def masked_aux(mask):
+                # per-sample masked mean, t-weighted, batch-averaged;
+                # empty-mask samples contribute exactly 0
+                s = (diff2 * mask).sum(axes)
+                c = mask.sum(axes)
+                return (w_t * s / jnp.maximum(c, 1.0)).mean()
+
+            if lesion_weight:
+                aux = masked_aux((batch["seg"] > 0).astype(jnp.float32))
+                loss = loss + lesion_weight * aux
+                terms["mse_lesion"] = aux
+            if lesion_core_weight:
+                # raw BraTS label 4 = enhancing tumor
+                aux_c = masked_aux(
+                    (batch["seg"] == 4).astype(jnp.float32)
+                )
+                loss = loss + lesion_core_weight * aux_c
+                terms["mse_lesion_core"] = aux_c
         # mid-plane slices for TB/wandb image panels
         # (`train_util.py:226-284` logs the x0 mid-plane and all 8 predicted
         # subband mid-planes every 200 steps) — slices, not full volumes,
@@ -200,6 +255,11 @@ def make_train_step(
             noise_img = jax.random.normal(
                 key_noise, target.shape, dtype=target.dtype
             )
+            # aux metrics are per-sample masked means, so microbatch means
+            # compose exactly; nothing global to precompute
+            extra_keys = (["mse_lesion"] if lesion_weight else []) + (
+                ["mse_lesion_core"] if lesion_core_weight else []
+            )
 
             def to_micro(x):
                 return x.reshape((n, mb) + x.shape[1:])
@@ -224,9 +284,7 @@ def make_train_step(
                     terms_i["loss_per_sample"],
                     terms_i[IMAGE_METRIC_KEYS[0]],
                     terms_i[IMAGE_METRIC_KEYS[1]],
-                ) + (
-                    (terms_i["mse_lesion"],) if lesion_weight else ()
-                )
+                ) + tuple(terms_i[k] for k in extra_keys)
                 return jax.tree.map(jnp.add, g_acc, g_i), ys
 
             g_sum, ys = jax.lax.scan(
@@ -245,8 +303,8 @@ def make_train_step(
                     (bsz,) + ys[4].shape[2:]
                 ),
             }
-            if lesion_weight:
-                terms["mse_lesion"] = ys[5].mean()
+            for j, k in enumerate(extra_keys):
+                terms[k] = ys[5 + j].mean()
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -271,6 +329,8 @@ def make_train_step(
         }
         if lesion_weight:
             metrics["mse_lesion"] = terms["mse_lesion"]
+        if lesion_core_weight:
+            metrics["mse_lesion_core"] = terms["mse_lesion_core"]
         if with_norms:
             # measured FREE on the production model (651.8 ms with vs
             # 650.7 without: XLA overlaps the two abs-max passes), so the

@@ -154,3 +154,82 @@ def test_loader_with_seg(tmp_path):
         )
     )
     assert batch["seg"].shape == (1, 224, 224, 160, 1)
+
+
+def make_varied_batch(key, b=4, s=8):
+    """Per-sample masks of DIFFERENT sizes (incl. one empty) — the case
+    that distinguishes per-sample masked means from a global masked mean
+    under gradient accumulation."""
+    batch = make_batch(key, b=b, s=s, lesion=False)
+    seg = np.zeros((b, s, s, s, 1), np.float32)
+    seg[0, 1:6, 1:6, 1:6] = 2.0           # big lesion, no core
+    seg[1, 2:4, 2:4, 2:4] = 4.0           # small pure-core lesion
+    seg[2, 2:6, 2:6, 2:6] = 2.0
+    seg[2, 3:5, 3:5, 3:5] = 4.0           # nested core
+    # sample 3: no lesion at all
+    batch["seg"] = jnp.asarray(seg)
+    return batch
+
+
+def test_core_weight_ignores_non_core_labels(setup):
+    """`lesion_core_weight` must key on raw label 4 ONLY: adding edema
+    voxels (label 2) changes mse_lesion but not mse_lesion_core."""
+    model, diffusion, _, params = setup
+    tx = optax.sgd(0.0)
+    batch = make_varied_batch(jax.random.PRNGKey(3))
+    batch2 = dict(batch)
+    seg2 = np.asarray(batch["seg"]).copy()
+    seg2[3, 0:3, 0:3, 0:3] = 2.0  # new edema in the previously clean case
+    batch2["seg"] = jnp.asarray(seg2)
+
+    def run(b):
+        step = make_train_step(
+            model, diffusion, tx, contr="t1c", mode="i2i",
+            lesion_weight=0.5, lesion_core_weight=0.7,
+        )
+        _, m = step(_state(params, tx), b, jax.random.PRNGKey(42))
+        return m
+
+    m1, m2 = run(batch), run(batch2)
+    assert float(m1["mse_lesion_core"]) == pytest.approx(
+        float(m2["mse_lesion_core"]), rel=1e-6
+    )
+    assert float(m1["mse_lesion"]) != pytest.approx(
+        float(m2["mse_lesion"]), rel=1e-3
+    )
+
+
+@pytest.mark.parametrize("p", [0.0, 1.0])
+def test_accum_exact_with_varied_masks(setup, p):
+    """Per-sample masked means + t-weighting accumulate EXACTLY: accum 2
+    over a batch with differently-sized (incl. empty) masks agrees with
+    accum 1 on loss and both aux metrics (ADVICE r4 #1 — the old global
+    masked mean diluted microbatches with small masks)."""
+    model, diffusion, _, params = setup
+    tx = optax.sgd(0.0)
+    batch = make_varied_batch(jax.random.PRNGKey(5))
+    key = jax.random.PRNGKey(9)
+
+    def run(accum):
+        step = make_train_step(
+            model, diffusion, tx, contr="t1c", mode="i2i",
+            lesion_weight=0.4, lesion_core_weight=0.3, lesion_t_power=p,
+            accum_steps=accum,
+        )
+        _, m = step(_state(params, tx), batch, key)
+        return m
+
+    m1, m2 = run(1), run(2)
+    for k in ("loss", "mse_lesion", "mse_lesion_core"):
+        np.testing.assert_allclose(
+            float(m2[k]), float(m1[k]), rtol=2e-5, err_msg=f"{k} accum=2"
+        )
+
+
+def test_t_power_rejects_negative(setup):
+    model, diffusion, _, _ = setup
+    with pytest.raises(ValueError, match="lesion_t_power"):
+        make_train_step(
+            model, diffusion, optax.sgd(0.0), contr="t1c", mode="i2i",
+            lesion_weight=0.1, lesion_t_power=-1.0,
+        )
