@@ -94,10 +94,22 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
 
 
 def generate_case(
-    seed: int, shape=RAW_SHAPE, lesion_prob: float = LESION_PROB
+    seed: int, shape=RAW_SHAPE, lesion_prob: float = LESION_PROB,
+    rim_texture: float = 0.0,
 ) -> dict[str, np.ndarray]:
     """One phantom case: ``{t1n,t1c,t2w,t2f: float32 raw-intensity volume,
-    seg: int16 BraTS-label volume}``, deterministic in ``seed``."""
+    seg: int16 BraTS-label volume}``, deterministic in ``seed``.
+
+    ``rim_texture > 0`` adds a case-seeded STOCHASTIC texture to t1c's
+    lesion rim that is present in NO other modality and therefore not
+    inferable from the inputs (VERDICT r4 #2: the base task's posterior
+    is nearly deterministic — t1c = exact affine combo + enhancement
+    inferable from lesion geometry — so sampler error never surfaces and
+    the quality frontier is flat down to 3 solver evals). With a genuine
+    posterior spread, few-eval solvers' over-smoothing becomes measurable
+    (see quality_bench's texture-fidelity metric). Drawn from an
+    INDEPENDENT rng stream, so rim_texture=0 datasets are bit-identical
+    to pre-option ones and all other fields/draws never shift."""
     rng = np.random.default_rng(seed)
     shape = tuple(int(s) for s in shape)
     # broadcast (sparse) grids: full meshgrid materializes 3 volume-size
@@ -161,6 +173,17 @@ def generate_case(
         a1 * base["t1n"] + a2 * base["t2w"] + a3 * base["t2f"]
         + b0 + wc * C
     )
+    if rim_texture and E.any():
+        # stochastic rim: a band over the outer edema (E in ~(0.05, 0.5)),
+        # independent rng → not predictable from the three inputs
+        rrng = np.random.default_rng((seed + 1) * 1_000_003)
+        R = _smooth_field(rrng, shape, 24)
+        band = np.clip((E - 0.05) / 0.25, 0.0, 1.0) * np.clip(
+            (0.5 - E) / 0.25, 0.0, 1.0
+        )
+        base["t1c"] = base["t1c"] + (rim_texture * R * band).astype(
+            np.float32
+        )
     out: dict[str, np.ndarray] = {}
     for mod in MODALITIES:
         img = np.clip(base[mod], 0.02, None) * edge
@@ -334,12 +357,13 @@ def write_case(
     case_id: str | None = None,
     modalities=MODALITIES,
     with_seg: bool = True,
+    rim_texture: float = 0.0,
 ) -> str:
     """Write one case in the BraTS leaf-directory layout the loaders
     discover (`bratsloader.py:29-38`)."""
     os.makedirs(case_dir, exist_ok=True)
     case_id = case_id or os.path.basename(case_dir)
-    vols = generate_case(seed, shape)
+    vols = generate_case(seed, shape, rim_texture=rim_texture)
     for mod in modalities:
         save(
             Nifti1Image(vols[mod], np.eye(4)),
@@ -361,6 +385,7 @@ def write_phantom_dataset(
     workers: int = 4,
     modalities=MODALITIES,
     with_seg: bool = True,
+    rim_texture: float = 0.0,
 ) -> list[str]:
     """Generate ``n_cases`` phantom cases under ``root`` (case directories
     ``{seed:05d}``), in parallel (gzip encoding releases the GIL)."""
@@ -376,6 +401,7 @@ def write_phantom_dataset(
                 pool.submit(
                     write_case, case_dir, seed, shape,
                     modalities=modalities, with_seg=with_seg,
+                    rim_texture=rim_texture,
                 )
             )
         for f in futs:

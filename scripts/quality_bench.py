@@ -64,6 +64,14 @@ def parse_args(argv=None):
         "('full' = the model's whole chain); the sampled:N model is always "
         "evaluated with its native N-step chain",
     )
+    ap.add_argument(
+        "--rim_texture", type=float, default=0.0,
+        help="stochastic t1c lesion-rim texture amplitude (normalized "
+        "units; see data/phantom.py). >0 gives the completion task a "
+        "genuine posterior spread so the sampler frontier can bend — "
+        "use a FRESH --workdir; the texture-fidelity column only means "
+        "anything on a dataset generated with the same value",
+    )
     ap.add_argument("--stages", default="gen,train,eval")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch_size", type=int, default=1)
@@ -134,7 +142,10 @@ def stage_gen(a) -> tuple[str, str]:
             print(f"[gen] {d} exists, skipping")
             continue
         t0 = time.perf_counter()
-        write_phantom_dataset(d, n, start_seed=seed0, shape=shape)
+        write_phantom_dataset(
+            d, n, start_seed=seed0, shape=shape,
+            rim_texture=a.rim_texture,
+        )
         open(done, "w").close()
         print(f"[gen] {d}: {n} cases in {time.perf_counter() - t0:.1f}s")
     return train_dir, val_dir
@@ -355,8 +366,32 @@ def stage_eval(a, val_dir: str) -> list[dict]:
         cond = common.prepare_condition(batch, a.contr)
         mask = batch[condition_order(a.contr)[0]]
         gt = batch[a.contr][0, ..., 0][:, :, :crop_z]
-        cases.append((cond, mask, gt, batch))
+        seg = None
+        seg_path = item.get("filedict", {}).get("seg")
+        if seg_path:
+            from fast_cwdm_tpu.data.brats import load_seg
+
+            seg = load_seg(seg_path)[..., 0][:, :, :crop_z]
+        cases.append((cond, mask, gt, batch, seg))
     print(f"[eval] {len(cases)} held-out cases, target {a.contr}")
+
+    def texture_ratio(sample, gt, seg):
+        """Lesion high-pass energy ratio std(HP(sample))/std(HP(gt)) over
+        seg>0 — the sampler-discrimination metric for rim-textured
+        phantoms: whole-volume SSIM REWARDS over-smoothing of genuinely
+        stochastic content (a flat prediction beats an independent
+        realization, zero-covariance algebra), so the frontier's knee
+        must be measured on texture fidelity instead. ~1.0 = the
+        synthesis carries the right texture energy; <1 = over-smoothed."""
+        if seg is None or not (seg > 0).any():
+            return None
+        from scipy.ndimage import uniform_filter
+
+        m = seg > 0
+        hp_s = sample - uniform_filter(sample, size=3)
+        hp_g = gt - uniform_filter(gt, size=3)
+        denom = float(hp_g[m].std())
+        return float(hp_s[m].std()) / denom if denom > 0 else None
 
     # context rows: how well does trivially COPYING an input score?
     for m in condition_order(a.contr):
@@ -365,6 +400,11 @@ def stage_eval(a, val_dir: str) -> list[dict]:
         vals = [
             ssim3d(c[3][m][0, ..., 0][:, :, :crop_z], c[2]) for c in cases
         ]
+        tex = [
+            texture_ratio(c[3][m][0, ..., 0][:, :, :crop_z], c[2], c[4])
+            for c in cases
+        ]
+        tex = [v for v in tex if v is not None]
         rows.append({
             "model": "-", "leg": f"copy-{m}", "evals": 0,
             "ssim_mean": float(np.mean(vals)),
@@ -372,6 +412,7 @@ def stage_eval(a, val_dir: str) -> list[dict]:
             "psnr_mean": float(np.mean([
                 psnr(c[3][m][0, ..., 0][:, :, :crop_z], c[2]) for c in cases
             ])),
+            "texture_ratio": float(np.mean(tex)) if tex else None,
             "s_per_volume": None,
         })
         dump_rows(a, rows)
@@ -447,8 +488,8 @@ def stage_eval(a, val_dir: str) -> list[dict]:
                 else diffusion.num_timesteps
             )
             key = jax.random.PRNGKey(a.seed + 1)
-            ssims, psnrs, walls = [], [], []
-            for idx, (cond, mask, gt, _) in enumerate(cases):
+            ssims, psnrs, walls, texs = [], [], [], []
+            for idx, (cond, mask, gt, _, seg) in enumerate(cases):
                 t0 = time.perf_counter()
                 out = synth(cond, mask, jax.random.fold_in(key, idx))
                 # force completion with a tiny DEPENDENT fetch inside the
@@ -461,6 +502,9 @@ def stage_eval(a, val_dir: str) -> list[dict]:
                 sample = np.asarray(out)[0]
                 ssims.append(ssim3d(sample, gt))
                 psnrs.append(psnr(sample, gt))
+                tr = texture_ratio(sample, gt, seg)
+                if tr is not None:
+                    texs.append(tr)
                 if idx > 0:  # case 0 pays the compile
                     walls.append(wall)
             row = {
@@ -470,6 +514,7 @@ def stage_eval(a, val_dir: str) -> list[dict]:
                 "ssim_mean": float(np.mean(ssims)),
                 "ssim_min": float(np.min(ssims)),
                 "psnr_mean": float(np.mean(psnrs)),
+                "texture_ratio": float(np.mean(texs)) if texs else None,
                 "s_per_volume": (
                     round(float(np.min(walls)), 3) if walls else None
                 ),
@@ -481,17 +526,24 @@ def stage_eval(a, val_dir: str) -> list[dict]:
 
 
 def render_md(a, rows: list[dict]) -> str:
-    lines = [
-        "| model | sampler | evals | SSIM (mean) | SSIM (min) | PSNR | s/vol |",
-        "|---|---|---|---|---|---|---|",
-    ]
+    with_tex = any(r.get("texture_ratio") is not None for r in rows)
+    hdr = "| model | sampler | evals | SSIM (mean) | SSIM (min) | PSNR |"
+    hdr += " texture |" if with_tex else ""
+    hdr += " s/vol |"
+    lines = [hdr, "|---|" + "---|" * (hdr.count("|") - 2)]
     for r in rows:
-        lines.append(
+        tex = r.get("texture_ratio")
+        line = (
             f"| {r['model']} | {r['leg']} | {r['evals']} "
             f"| {r['ssim_mean']:.4f} | {r['ssim_min']:.4f} "
             f"| {r['psnr_mean']:.2f} "
+        )
+        if with_tex:
+            line += f"| {tex:.3f} " if tex is not None else "| — "
+        line += (
             f"| {r['s_per_volume'] if r['s_per_volume'] is not None else '—'} |"
         )
+        lines.append(line)
     return "\n".join(lines)
 
 

@@ -102,3 +102,52 @@ def test_write_case_missing_modality(tmp_path):
     files = sorted(os.listdir(case))
     assert len(files) == 3 and not any("t1c" in f for f in files)
     assert len(T1C_COMBO) == 5
+
+
+def test_rim_texture_only_perturbs_t1c():
+    """rim_texture=0 is bit-identical to the pre-option generator (the
+    rim rng is an INDEPENDENT stream); rim_texture>0 changes t1c only,
+    inside the lesion band, and leaves labels untouched — so a
+    rim-textured dataset differs from its base dataset in exactly the
+    held-out modality's posterior spread."""
+    base = generate_case(9, shape=SMALL)
+    zero = generate_case(9, shape=SMALL, rim_texture=0.0)
+    for k in base:
+        assert np.array_equal(base[k], zero[k]), f"{k} shifted at rim=0"
+    rim = generate_case(9, shape=SMALL, rim_texture=0.08)
+    assert base["seg"].any(), "seed 9 must carry a lesion for this test"
+    for m in ("t1n", "t2w", "t2f"):
+        assert np.array_equal(base[m], rim[m]), f"{m} must not change"
+    np.testing.assert_array_equal(base["seg"], rim["seg"])
+    diff = np.abs(rim["t1c"].astype(np.float64) - base["t1c"])
+    assert diff.max() > 0
+    # the texture lives in the lesion neighborhood: every changed voxel
+    # is within the edema support's bounding box (band ⊂ E>0.05)
+    changed = diff > 1e-6 * max(1.0, base["t1c"].max())
+    lesion_bbox = np.zeros_like(changed)
+    ii = np.nonzero(base["seg"] > 0)
+    pad = 12
+    lo = [max(0, int(x.min()) - pad) for x in ii]
+    hi = [min(s, int(x.max()) + pad) for x, s in zip(ii, SMALL)]
+    lesion_bbox[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] = True
+    assert changed[~lesion_bbox].sum() == 0
+
+
+def test_rim_texture_case_seeded():
+    """Different seeds draw different rim textures (the spread is
+    per-case, not a fixed offset a model could memorize)."""
+    r7 = generate_case(10, shape=SMALL, rim_texture=0.08)
+    b7 = generate_case(10, shape=SMALL)
+    r9 = generate_case(9, shape=SMALL, rim_texture=0.08)
+    b9 = generate_case(9, shape=SMALL)
+    if not (b7["seg"].any() and b9["seg"].any()):
+        import pytest
+
+        pytest.skip("both seeds need lesions")
+    d7 = (r7["t1c"] - b7["t1c"])
+    d9 = (r9["t1c"] - b9["t1c"])
+    # normalized correlation of the two textures over their joint support
+    m = (np.abs(d7) > 0) | (np.abs(d9) > 0)
+    if m.sum() > 100:
+        c = np.corrcoef(d7[m], d9[m])[0, 1]
+        assert abs(c) < 0.5, f"rim textures too correlated: {c}"
