@@ -122,7 +122,14 @@ def test_main_report_and_md_row(tmp_path, monkeypatch):
     monkeypatch.setattr(
         db, "agreement", lambda a, x, y: 0.875
     )
-    fake_scores = {"dice_mean": 0.9, "n": 2, "per_case": {}}
+    monkeypatch.setattr(
+        db, "region_means",
+        lambda a, tree: {"mean": {"et": 0.9}, "cases": {}},
+    )
+    fake_scores = {
+        "dice_mean": 0.9, "n": 2, "per_case": {},
+        "dice_per_label_mean": {"edema": 0.9, "ncr": 0.9, "et": 0.9},
+    }
     import fast_cwdm_tpu.cli.evaluate_synthesis as ev
 
     monkeypatch.setattr(
@@ -141,6 +148,9 @@ def test_main_report_and_md_row(tmp_path, monkeypatch):
         report = json.load(f)
     assert set(report["legs"]) == {"real", "synth_dpm++-25"}
     assert report["agreement"] == 0.875
+    # round-5 evidence fields ride in the report
+    assert report["legs"]["synth_dpm++-25"]["region_means"]["mean"]["et"] == 0.9
+    assert report["gt_region_means"] == {"et": 0.9}
     line = md.read_text().strip()
     assert line.startswith("| downstream Dice (dpm++-25) |")
     assert "prediction agreement 0.8750" in line
