@@ -190,3 +190,25 @@ def test_quick_mode_never_weakens_to_invalid_schedule():
     b = qb.parse_args(["--workdir=/tmp/x", "--quick", "--schedules=direct:80"])
     qb.apply_quick(b)
     assert b.schedules == "direct:80"
+
+
+def test_render_md_texture_column():
+    """The texture column appears only when a row carries texture_ratio
+    (rim-textured datasets); legacy rows render the original 7-col table."""
+    a = _args(["--workdir", "w"])
+    legacy = [{
+        "model": "m", "leg": "l", "evals": 5, "ssim_mean": 0.9,
+        "ssim_min": 0.8, "psnr_mean": 30.0, "s_per_volume": 1.5,
+    }]
+    out = qb.render_md(a, legacy)
+    assert "texture" not in out
+    rows = legacy + [{
+        "model": "m", "leg": "t", "evals": 5, "ssim_mean": 0.9,
+        "ssim_min": 0.8, "psnr_mean": 30.0, "texture_ratio": 0.87,
+        "s_per_volume": 1.5,
+    }]
+    out = qb.render_md(a, rows)
+    assert "texture" in out
+    assert "| 0.870 |" in out
+    # the legacy row renders an em-dash in the texture column
+    assert "| 30.00 | — | 1.5 |" in out.splitlines()[2]
