@@ -31,6 +31,9 @@ while [[ $# -gt 0 ]]; do
     --val_dir) VAL_DIR="$2"; shift 2 ;;
     --checkpoint_dir) CHECKPOINT_DIR="$2"; shift 2 ;;
     --output_dir) OUTPUT_DIR="$2"; shift 2 ;;
+    # beyond-reference flags forwarded verbatim to the underlying CLI,
+    # e.g. --extra "--lesion_core_weight=1.0 --lesion_t_power=1.0"
+    --extra) EXTRA="$2"; shift 2 ;;
     --help)
       echo "Usage: $0 [--mode MODE] [--sampling-strategy STRATEGY] [--timesteps STEPS] [--train_modality MODALITY]"
       echo "  --mode: train, sample, auto, complete (default: train)"
@@ -65,7 +68,7 @@ train_one() {
   local CONTRAST=$1
   echo "=== Training $CONTRAST ($SAMPLING_STRATEGY, $TIMESTEPS steps) ==="
   local START=$(date +%s)
-  python scripts/train.py $TRAIN --contr=$CONTRAST $COMMON
+  python scripts/train.py $TRAIN --contr=$CONTRAST $COMMON $EXTRA
   local END=$(date +%s)
   echo "[TIMING] Training for $CONTRAST completed in $((END-START)) seconds"
 }
